@@ -1,0 +1,133 @@
+"""Solver options with per-variant defaults.
+
+The reference configures each driver through an ``options`` struct whose
+defaults differ per variant (e.g. src/primal/ManiSDP_unitdiag.m:10-26 vs
+src/primal/ManiSDP.m:9-25).  We mirror that with one dataclass plus
+per-variant default dictionaries; a solver merges ``DEFAULTS[variant]``
+with user overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class SolverOptions:
+    """Options shared by every ManiSDP-TPU driver.
+
+    Field semantics follow the reference (README.md:31-106 of the
+    reference documents them per variant):
+
+    - ``tol``: target on the max KKT residual eta = max(gap, pinf, dinf).
+    - ``p0``: initial factor rank.
+    - ``max_outer``: AL / ADMM outer-iteration cap (AL_maxiter / ADMM_maxiter).
+    - ``sigma0 / sigma_min / sigma_max / gama``: penalty schedule.
+    - ``theta``: singular-value cutoff for rank truncation.
+    - ``delta``: max number of escape directions appended per iteration.
+    - ``alpha``: escape step size (when line_search is off).
+    - ``tolgradnorm / tr_maxinner / tr_maxiter``: inner RTR budgets.
+    - ``tau1 / tau2``: pinf-vs-gradnorm thresholds for the sigma update.
+    - ``line_search``: use backtracking saddle-escape line search.
+    """
+
+    tol: float = 1e-8
+    p0: int = 2
+    max_outer: int = 300
+    sigma0: float = 1e-3
+    sigma_min: float = 1e-2
+    sigma_max: float = 1e7
+    gama: float = 2.0
+    theta: float = 1e-3
+    delta: int = 8
+    alpha: float = 0.1
+    tolgradnorm: float = 1e-8
+    tr_maxinner: int = 20
+    tr_maxiter: int = 4
+    tau1: float = 1.0
+    tau2: float = 1.0
+    line_search: bool = False
+    min_facsize: int = 2          # multiblock: blocks below this stay full-rank
+    seed: int = 0
+    verbose: bool = True
+    # Rank-padding bucket: p is padded up to a multiple of this so XLA
+    # recompiles only when the bucket grows (TPU f32/f64 sublane is 8).
+    p_bucket: int = 8
+    # Certificate eigensolver: "eigh" (full dense) or "lobpcg" (partial,
+    # for large n); "auto" switches on n.
+    eig_method: str = "auto"
+    eig_switch_n: int = 2049      # n above which "auto" uses lobpcg
+    dtype: str = "float64"
+
+    def replace(self, **kw) -> "SolverOptions":
+        return dataclasses.replace(self, **kw)
+
+
+def merged_options(variant: str, options: Optional[SolverOptions] = None,
+                   **overrides) -> SolverOptions:
+    """Merge per-variant defaults with user overrides.
+
+    ``options`` (if given) wins over the variant defaults only for fields
+    the user explicitly passed via ``overrides``; passing a full
+    SolverOptions uses it as-is.
+    """
+    if options is not None:
+        return options.replace(**overrides) if overrides else options
+    base = dataclasses.replace(SolverOptions(), **VARIANT_DEFAULTS[variant])
+    return base.replace(**overrides) if overrides else base
+
+
+# Per-variant defaults, matching the reference preamble of each driver.
+VARIANT_DEFAULTS = {
+    # src/primal/ManiSDP_onlyunitdiag.m:8-17
+    "maxcut_unitdiag": dict(
+        p0=2, max_outer=20, theta=1e-1, delta=8, alpha=0.5,
+        tr_maxinner=100, tr_maxiter=40, line_search=False,
+    ),
+    # src/primal/ManiSDP_unitdiag.m:10-26
+    "unitdiag": dict(
+        p0=2, max_outer=300, gama=2.0, sigma0=1e-3, sigma_min=1e-2,
+        sigma_max=1e7, theta=1e-3, delta=8, alpha=0.1,
+        tr_maxinner=20, tr_maxiter=4, tau1=1.0, tau2=1.0, line_search=False,
+    ),
+    # src/primal/ManiSDP_unittrace.m:10-25
+    "unittrace": dict(
+        p0=1, max_outer=1000, gama=2.0, sigma0=1e1, sigma_min=1e2,
+        sigma_max=1e7, theta=1e-2, delta=8, alpha=0.05,
+        tr_maxinner=40, tr_maxiter=3, tau1=1e-5, tau2=1e-4, line_search=True,
+    ),
+    # src/primal/ManiSDP.m:9-25
+    "general": dict(
+        p0=1, max_outer=1000, gama=2.0, sigma0=1e-2, sigma_min=1e-1,
+        sigma_max=1e7, theta=1e-2, delta=8, alpha=0.1,
+        tr_maxinner=20, tr_maxiter=4, tau1=1e-2, tau2=1e-1, line_search=True,
+    ),
+    # src/primal/ManiSDP_multiblock.m:11-27
+    "multiblock": dict(
+        p0=1, max_outer=1000, gama=2.0, sigma0=1e-1, sigma_min=1e-2,
+        sigma_max=1e7, theta=1e-2, delta=8, alpha=0.1,
+        tr_maxinner=20, tr_maxiter=4, tau1=1e1, tau2=1e1, line_search=False,
+        min_facsize=2,
+    ),
+    # src/dual/ManiDSDP_unitdiag.m:10-26  (p0 = ceil(log(m)) is applied
+    # by the driver when p0 is None-like; we keep 0 as the sentinel)
+    "dual_unitdiag": dict(
+        p0=0, max_outer=300, gama=2.0, sigma0=1e-3, sigma_min=1e-3,
+        sigma_max=1e7, theta=1e-3, delta=8, alpha=0.1,
+        tr_maxinner=20, tr_maxiter=4, tau1=1e1, tau2=1e2, line_search=False,
+    ),
+    # src/dual/ManiDSDP.m:10-25
+    "dual_general": dict(
+        p0=1, max_outer=1000, gama=2.0, sigma0=1e-1, sigma_min=1e-2,
+        sigma_max=1e7, theta=1e-2, delta=8, alpha=0.01,
+        tr_maxinner=20, tr_maxiter=4, tau1=0.1, tau2=1.0, line_search=True,
+    ),
+    # src/dual/ManiDSDP_multiblock.m
+    "dual_multiblock": dict(
+        p0=0, max_outer=1000, gama=2.0, sigma0=1e-2, sigma_min=1e-3,
+        sigma_max=1e7, theta=1e-3, delta=8, alpha=0.1,
+        tr_maxinner=20, tr_maxiter=4, tau1=1e1, tau2=1e2, line_search=False,
+        min_facsize=2,
+    ),
+}

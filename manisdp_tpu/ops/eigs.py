@@ -1,0 +1,123 @@
+"""Dual-certificate eigensolvers.
+
+Each outer iteration the reference eigendecomposes the full dense dual
+matrix S (e.g. ManiSDP_unitdiag.m:68) to get
+  - dinf = max(0, -lambda_min) / (1 + lambda_max),
+  - the number of negative eigenvalues, and
+  - up to ``delta`` eigenvectors for the most negative eigenvalues
+    (the saddle-escape directions).
+
+A dense n^3 eig is the second hot spot (SURVEY §3.1) and is infeasible
+on TPU at n = 10^4 in f64.  We provide two backends behind one API:
+
+  - ``eigh``:  dense jnp.linalg.eigh — exact, for moderate n;
+  - ``lobpcg``: matrix-free partial eigensolve — a Lanczos pass bounds
+    the spectrum, then LOBPCG on (shift*I - S) extracts the bottom
+    block.  Only O(nnz) matvecs touch S, so it scales to n = 10^4+ and
+    shards over a device mesh (matvec is a psum away).
+
+The matvec-based path only sees S through ``matvec(V) -> S @ V`` on
+(n, k) blocks, which every driver supplies in factored/sparse form.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.sparse.linalg import lobpcg_standard
+
+
+class CertResult(NamedTuple):
+    lam_min: jax.Array       # smallest eigenvalue of S
+    lam_max: jax.Array       # largest eigenvalue of S
+    num_neg: jax.Array       # number of negative eigenvalues (clipped for lobpcg)
+    neg_vecs: jax.Array      # (n, k) eigenvectors of the k smallest eigenvalues
+    neg_vals: jax.Array      # (k,) the k smallest eigenvalues, ascending
+
+
+def eigh_certificate(S_dense, k: int) -> CertResult:
+    """Exact certificate from a dense symmetric S."""
+    vals, vecs = jnp.linalg.eigh(S_dense)
+    return CertResult(
+        lam_min=vals[0], lam_max=vals[-1],
+        num_neg=jnp.sum(vals < 0),
+        neg_vecs=vecs[:, :k], neg_vals=vals[:k])
+
+
+def lanczos_bounds(matvec: Callable, n: int, key, iters: int = 48):
+    """Cheap spectral-interval estimate via plain Lanczos (no reorth).
+
+    Returns (lo, hi) with hi >= lambda_max(S) - eps_est; used only to
+    pick the LOBPCG shift and the dinf denominator guard.
+    """
+    v = jax.random.normal(key, (n, 1), dtype=jnp.float64)
+    v = v / jnp.linalg.norm(v)
+
+    def body(carry, _):
+        v_prev, v_cur, beta = carry
+        w = matvec(v_cur) - beta * v_prev
+        alpha = jnp.vdot(v_cur, w)
+        w = w - alpha * v_cur
+        beta_new = jnp.linalg.norm(w)
+        v_next = w / jnp.maximum(beta_new, 1e-300)
+        return (v_cur, v_next, beta_new), (alpha, beta_new)
+
+    (_, _, _), (alphas, betas) = jax.lax.scan(
+        body, (jnp.zeros_like(v), v, jnp.float64(0.0)), None, length=iters)
+    alphas = alphas.reshape(-1)
+    betas = betas.reshape(-1)[:-1]
+    T = jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1)
+    ritz = jnp.linalg.eigvalsh(T)
+    # Lanczos Ritz values are interior estimates; pad by the last beta.
+    slack = jnp.abs(betas[-1]) if iters > 1 else jnp.float64(0.0)
+    return ritz[0] - slack, ritz[-1] + slack
+
+
+def lobpcg_certificate(matvec: Callable, n: int, k: int, key,
+                       maxiter: int = 200, tol: float = 1e-9) -> CertResult:
+    """Bottom-k eigenpairs of S via LOBPCG on B = shift*I - S.
+
+    lambda_max(S) is taken from the Lanczos bound (sufficient for the
+    dinf denominator: an overestimate only makes dinf conservative).
+    """
+    key_l, key_x = jax.random.split(key)
+    lo, hi = lanczos_bounds(matvec, n, key_l)
+    shift = hi + 0.01 * jnp.maximum(hi - lo, 1.0)
+
+    def b_matvec(V):
+        return shift * V - matvec(V)
+
+    X0 = jax.random.normal(key_x, (n, k), dtype=jnp.float64)
+    theta, U, _ = lobpcg_standard(b_matvec, X0, m=maxiter, tol=tol)
+    s_vals = shift - theta                      # ascending in S
+    order = jnp.argsort(s_vals)
+    s_vals = s_vals[order]
+    U = U[:, order]
+    # Rayleigh refinement of lambda_max for the denominator
+    lam_max = hi
+    return CertResult(
+        lam_min=s_vals[0], lam_max=lam_max,
+        num_neg=jnp.sum(s_vals < 0),            # clipped at k by construction
+        neg_vecs=U, neg_vals=s_vals)
+
+
+def dual_certificate(method: str, n: int, k: int, *,
+                     S_dense=None, matvec: Callable = None,
+                     key=None, lobpcg_tol: float = 1e-9,
+                     eig_switch_n: int = 2049) -> CertResult:
+    """Dispatch: 'eigh' | 'lobpcg' | 'auto'."""
+    if method == "auto":
+        method = "eigh" if n < eig_switch_n else "lobpcg"
+    if method == "eigh":
+        if S_dense is None:
+            raise ValueError("eigh certificate needs S_dense")
+        return eigh_certificate(S_dense, k)
+    if method == "lobpcg":
+        if matvec is None:
+            raise ValueError("lobpcg certificate needs matvec")
+        return lobpcg_certificate(matvec, n, k, key, tol=lobpcg_tol)
+    raise ValueError(f"unknown eig method {method!r}")

@@ -1,0 +1,217 @@
+"""Sparse operators on Burer-Monteiro factors — the TPU hot path.
+
+The reference's hot ops are MATLAB sparse BLAS: ``Y*C`` (sparse cost
+matrix), ``A*x``, ``At*v`` and ``A'*(At'*vec(Y'U))`` with A an m-by-n^2
+sparse constraint matrix (SURVEY §3.2).  Here everything acts directly on
+the factor ``Y`` (p, n) — X = Y'Y is never materialized — via
+gather / elementwise / segment-sum chains that XLA fuses:
+
+  A(YY')_k      = sum_e v_e <Y[:,i_e], Y[:,j_e]>      (pair_dots + segment by k)
+  mat(A'w) on P = segment of v_e * w_k by pattern id   (a2p map)
+  Y @ mat(vals) = segment of vals_e * Y[:,i_e] by j_e  (gather_cols + scatter_cols)
+
+All index arrays are int32, value arrays float64, entries pre-sorted on
+host so segment sums can claim sorted indices.  Data containers are
+frozen dataclass pytrees: index/value arrays are leaves (device
+resident), sizes are static metadata.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gather_cols(Y, idx):
+    """Columns of Y (p, n) at idx (nnz,) -> (nnz, p)."""
+    return jnp.take(Y.T, idx, axis=0)
+
+
+def pair_dots(Y, U, i, j):
+    """<Y[:,i_e], U[:,j_e]> for each entry e -> (nnz,)."""
+    return jnp.sum(gather_cols(Y, i) * gather_cols(U, j), axis=1)
+
+
+def scatter_cols(vals, src_idx, out_idx, Y, n, sorted_out=True):
+    """sum_e vals_e * Y[:, src_idx_e] scattered into column out_idx_e.
+
+    Returns a (p, n) array: the factored form of ``Y @ M`` for a sparse
+    matrix M with entries M[src, out] = vals.
+    """
+    contrib = gather_cols(Y, src_idx) * vals[:, None]          # (nnz, p)
+    out = jax.ops.segment_sum(contrib, out_idx, num_segments=n,
+                              indices_are_sorted=sorted_out)   # (n, p)
+    return out.T
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SymCOO:
+    """Symmetric n-by-n sparse matrix, full (both-triangles) COO pattern.
+
+    Entries sorted by column j (the scatter target of right-multiply).
+    """
+    i: jax.Array
+    j: jax.Array
+    v: jax.Array
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+    @staticmethod
+    def from_scipy(mat) -> "SymCOO":
+        import scipy.sparse as sp
+        coo = sp.coo_matrix(mat)
+        order = np.lexsort((coo.row, coo.col))
+        return SymCOO(
+            i=jnp.asarray(coo.row[order], dtype=jnp.int32),
+            j=jnp.asarray(coo.col[order], dtype=jnp.int32),
+            v=jnp.asarray(coo.data[order], dtype=jnp.float64),
+            n=int(mat.shape[0]))
+
+    @property
+    def nnz(self) -> int:
+        return self.v.shape[0]
+
+    def matmat(self, Y):
+        """Y @ C for Y (p, n): out[:, j] += v * Y[:, i]."""
+        return scatter_cols(self.v, self.i, self.j, Y, self.n)
+
+    def matmat_vals(self, Y, vals):
+        """Y @ M where M has this pattern but values ``vals``."""
+        return scatter_cols(vals, self.i, self.j, Y, self.n)
+
+    def matvec_block(self, V, vals=None):
+        """C @ V for a dense (n, k) block V — the eigensolver matvec."""
+        v = self.v if vals is None else vals
+        contrib = jnp.take(V, self.i, axis=0) * v[:, None]     # (nnz, k)
+        return jax.ops.segment_sum(contrib, self.j, num_segments=self.n,
+                                   indices_are_sorted=True)
+
+    def quad_cols(self, Y, U=None):
+        """Column sums of (Y'U) .* C -> z_j = sum_i C[i,j] <Y:,i, U:,j>."""
+        U = Y if U is None else U
+        e = pair_dots(Y, U, self.i, self.j)
+        return jax.ops.segment_sum(self.v * e, self.j, num_segments=self.n,
+                                   indices_are_sorted=True)
+
+    def quad_form(self, Y, U=None):
+        """<C, Y'U> = sum_ij C[i,j] <Y:,i, U:,j> (a scalar)."""
+        U = Y if U is None else U
+        e = pair_dots(Y, U, self.i, self.j)
+        return jnp.dot(self.v, e)
+
+    def to_dense(self):
+        out = jnp.zeros((self.n, self.n), dtype=self.v.dtype)
+        return out.at[self.i, self.j].add(self.v)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ConstraintOp:
+    """The affine operator A : S^n -> R^m in factored-entry form.
+
+    Stores every nonzero of the m-by-n^2 SeDuMi constraint matrix as
+    (k, i, j, v) with entries sorted by constraint row k, plus:
+
+    - ``pat``: the union sparsity pattern P of {c} U {rows of A} as a
+      SymCOO *without* values (its ``v`` holds c restricted to P so the
+      gradient matrix eS = mat(c + sigma*A'w) reuses it);
+    - ``a2p``: map from A-entry -> index in P, so A'w restricted to P is
+      one segment-sum.
+
+    This factored representation is what makes grad/hess matrix-free:
+    eS never exists as an n-by-n dense array unless n is small.
+    """
+    k: jax.Array         # (nnzA,) int32, sorted ascending
+    i: jax.Array
+    j: jax.Array
+    v: jax.Array         # (nnzA,) float64
+    a2p: jax.Array       # (nnzA,) int32 index into pattern P
+    pat: SymCOO          # pattern P with v = c restricted to P
+    b: jax.Array         # (m,) float64 right-hand side
+    m: int = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+    @staticmethod
+    def build(At, b, c, n: int) -> "ConstraintOp":
+        """From SeDuMi data: At (n^2, m) sparse, b (m,), c (n^2,).
+
+        Host-side construction (runs once per problem).
+        """
+        import scipy.sparse as sp
+        A = sp.csr_matrix(At.T) if not sp.issparse(At) else At.T.tocsr()
+        m = A.shape[0]
+        coo = A.tocoo()
+        kk = coo.row.astype(np.int64)
+        lin = coo.col.astype(np.int64)          # index into vec(X), col-major
+        ii = (lin % n).astype(np.int64)
+        jj = (lin // n).astype(np.int64)
+        vv = coo.data.astype(np.float64)
+        order = np.argsort(kk, kind="stable")
+        kk, ii, jj, vv = kk[order], ii[order], jj[order], vv[order]
+
+        c = np.asarray(c).ravel().astype(np.float64)
+        c_sp = sp.coo_matrix(c.reshape(n, n, order="F"))
+
+        # union pattern P, sorted by (j, i)
+        keys_a = jj * n + ii
+        keys_c = c_sp.col.astype(np.int64) * n + c_sp.row.astype(np.int64)
+        pat_keys = np.unique(np.concatenate([keys_a, keys_c]))
+        p_i = (pat_keys % n).astype(np.int32)
+        p_j = (pat_keys // n).astype(np.int32)
+        a2p = np.searchsorted(pat_keys, keys_a).astype(np.int32)
+        c2p = np.searchsorted(pat_keys, keys_c)
+        c_on_p = np.zeros(pat_keys.shape[0], dtype=np.float64)
+        np.add.at(c_on_p, c2p, c_sp.data.astype(np.float64))
+
+        pat = SymCOO(i=jnp.asarray(p_i), j=jnp.asarray(p_j),
+                     v=jnp.asarray(c_on_p), n=n)
+        return ConstraintOp(
+            k=jnp.asarray(kk, dtype=jnp.int32),
+            i=jnp.asarray(ii, dtype=jnp.int32),
+            j=jnp.asarray(jj, dtype=jnp.int32),
+            v=jnp.asarray(vv, dtype=jnp.float64),
+            a2p=jnp.asarray(a2p),
+            pat=pat, b=jnp.asarray(b, dtype=jnp.float64).ravel(),
+            m=int(m), n=int(n))
+
+    @property
+    def nnz(self) -> int:
+        return self.v.shape[0]
+
+    # -- forward operator ------------------------------------------------
+    def apply_factored(self, Y, U=None):
+        """A(vec(Y'U)) -> (m,); U defaults to Y (then it is A(X))."""
+        e = pair_dots(Y, Y if U is None else U, self.i, self.j)
+        return jax.ops.segment_sum(self.v * e, self.k, num_segments=self.m,
+                                   indices_are_sorted=True)
+
+    def apply_vec(self, x):
+        """A @ x for a dense vec(X) (n^2,) — used off the hot path."""
+        e = x[self.i.astype(jnp.int64) +
+              self.j.astype(jnp.int64) * self.n]
+        return jax.ops.segment_sum(self.v * e, self.k, num_segments=self.m,
+                                   indices_are_sorted=True)
+
+    # -- adjoint on the pattern ------------------------------------------
+    def adjoint_on_pattern(self, w):
+        """Values of mat(A'w) restricted to pattern P -> (nnzP,)."""
+        return jax.ops.segment_sum(
+            self.v * jnp.take(w, self.k), self.a2p,
+            num_segments=self.pat.nnz, indices_are_sorted=False)
+
+    def es_vals(self, w, sigma):
+        """Values on P of eS = mat(c + sigma * A'w)."""
+        return self.pat.v + sigma * self.adjoint_on_pattern(w)
+
+    def s_vals(self, y):
+        """Values on P of mat(c - A'y) (the dual slack matrix)."""
+        return self.pat.v - self.adjoint_on_pattern(y)
+
+    def pattern_dense(self, vals):
+        out = jnp.zeros((self.n, self.n), dtype=vals.dtype)
+        return out.at[self.pat.i, self.pat.j].add(vals)

@@ -1,0 +1,233 @@
+"""Unit-diagonal SDP without extra affine constraints (MaxCut family).
+
+    min <C, X>  s.t.  diag(X) = 1,  X >= 0
+
+TPU-native equivalent of ManiSDP_onlyunitdiag
+(src/primal/ManiSDP_onlyunitdiag.m): the unit-diagonal constraint IS the
+oblique manifold, so the outer loop needs no augmented Lagrangian — it
+alternates [RTR inner solve -> dual certificate -> rank update].
+
+Everything on the hot path is factored/sparse:
+  cost  f  = 0.5 <Y C, Y>                       (:117-121)
+  grad  G  = YC - Y .* colsum(Y .* YC)          (:123-125)
+  hess  H  = UC - Y .* colsum(Y .* UC) - U .* eG(:127-130)
+  dual  S  = C - diag(z),  z = colsum(C .* X)   (:45-49)
+with Y a zero-padded (p_pad, n) factor and C a SymCOO; the n^3 dense
+eig of S is replaced by a matrix-free LOBPCG certificate for large n.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SolverOptions, merged_options
+from ..core import Problem, TROptions, make_trustregions
+from ..manifolds import Oblique
+from ..ops.eigs import lobpcg_certificate
+from ..ops.sparse import SymCOO
+from .common import (JitCache, RankController, SDPResult, SlowProgress,
+                     bucketed, log_iter, make_line_search, pad_rows)
+
+
+def _make_inner(opt: SolverOptions):
+    """RTR solve + certificate, jit-cached per p_pad."""
+
+    def cost(Y, C):
+        YC = C.matmat(Y)
+        eG = jnp.sum(YC * Y, axis=0)
+        return 0.5 * jnp.sum(eG), (YC, eG)
+
+    def grad(Y, C, aux):
+        YC, eG = aux
+        return YC - Y * eG[None, :], ()
+
+    def hess(Y, U, C, aux, gaux):
+        _, eG = aux
+        UC = C.matmat(U)
+        return UC - Y * jnp.sum(Y * UC, axis=0, keepdims=True) \
+            - U * eG[None, :]
+
+    problem = Problem(manifold=Oblique, cost=cost, grad=grad, hess=hess)
+    tr_opts = TROptions(maxiter=opt.tr_maxiter, maxinner=opt.tr_maxinner,
+                        tolgradnorm=opt.tolgradnorm)
+    solve = jax.jit(make_trustregions(problem, tr_opts))
+
+    def cost_only(Y, C):
+        return cost(Y, C)[0]
+
+    line_search = make_line_search(cost_only, Oblique.renormalize)
+    return solve, line_search
+
+
+def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
+               C_dense_host):
+    """Dual certificate for S = C - diag(z).
+
+    Large f64 dense eigh does not compile on TPU (QDWH in emulated f64),
+    so the exact path runs on HOST numpy (n is moderate there by
+    construction) while the scalable path is a matrix-free device
+    Lanczos + LOBPCG (ops/eigs.py).
+    """
+
+    @jax.jit
+    def z_obj(Y, C):
+        z = C.quad_cols(Y)
+        return z, jnp.sum(z)
+
+    @jax.jit
+    def lobpcg_cert(Y, C, z, key):
+        def matvec(V):
+            return C.matvec_block(V) - z[:, None] * V
+        return lobpcg_certificate(matvec, n, k, key)
+
+    def cert(Y, C, key):
+        z, obj = z_obj(Y, C)
+        if use_eigh:
+            z_h = np.asarray(jax.device_get(z))
+            S = C_dense_host - np.diag(z_h)
+            vals, vecs = np.linalg.eigh(S)
+            lam_min, lam_max = vals[0], vals[-1]
+            num_neg = int(np.sum(vals < 0))
+            neg_vecs, neg_vals = vecs[:, :k], vals[:k]
+        else:
+            res = lobpcg_cert(Y, C, z, key)
+            lam_min = float(res.lam_min)
+            lam_max = float(res.lam_max)
+            num_neg = int(res.num_neg)
+            neg_vecs = np.asarray(jax.device_get(res.neg_vecs))
+            neg_vals = np.asarray(jax.device_get(res.neg_vals))
+        dinf = max(0.0, -lam_min) / (1.0 + lam_max)
+        return z, float(obj), dinf, num_neg, neg_vecs, neg_vals
+
+    return cert
+
+
+def solve_maxcut_unitdiag(C, options: Optional[SolverOptions] = None,
+                          Y0: Optional[np.ndarray] = None,
+                          **overrides) -> SDPResult:
+    """Solve min <C,X> s.t. diag(X)=1, X>=0 via Burer-Monteiro RTR.
+
+    ``C`` may be a scipy sparse matrix, dense array, or SymCOO.
+    """
+    opt = merged_options("maxcut_unitdiag", options, **overrides)
+    if not isinstance(C, SymCOO):
+        import scipy.sparse as sp
+        C = sp.coo_matrix(C)
+        # <C, X> depends only on the symmetric part; the RTR cost/grad
+        # assume symmetry, so enforce it here.
+        C = SymCOO.from_scipy(0.5 * (C + C.T))
+    n = C.n
+    use_eigh = (opt.eig_method == "eigh") or \
+        (opt.eig_method == "auto" and n < opt.eig_switch_n)
+    C_dense_host = np.asarray(jax.device_get(C.to_dense())) if use_eigh \
+        else None
+    k_cert = opt.delta + 1
+
+    if opt.verbose:
+        print("ManiSDP-TPU (maxcut/unitdiag) is starting...", flush=True)
+        print(f"SDP size: n = {n}, m = {n}", flush=True)
+
+    inner_cache = JitCache(lambda p_pad: _make_inner(opt))
+    cert_fn = _make_cert(opt, n, k_cert, use_eigh, C_dense_host)
+    rank = RankController(opt.theta, opt.delta, opt.alpha,
+                          nne_floor=True, bucket=opt.p_bucket)
+    slow = SlowProgress(period=20, warmup=50)
+
+    key = jax.random.PRNGKey(opt.seed)
+    p = opt.p0
+    p_pad = bucketed(p, opt.p_bucket)
+    typdist = float(np.pi * np.sqrt(n))
+    if Y0 is not None:
+        Y0 = np.asarray(Y0, dtype=np.float64)
+        p = Y0.shape[0]
+        p_pad = bucketed(p, opt.p_bucket)
+        Y = jnp.asarray(pad_rows(Y0, p_pad))
+    else:
+        key, sub = jax.random.split(key)
+        Y = Oblique.rand(sub, p, n, p_pad)
+    U_dir = None
+
+    status = 0
+    total_tr = total_hess = 0
+    fac_size = []
+    history = []
+    t0 = time.time()
+    obj = dinf = gradnorm = np.nan
+    z_dev = S_last = None
+    it = 0
+
+    for it in range(1, opt.max_outer + 1):
+        fac_size.append(p)
+        solve, line_search = inner_cache(p_pad)
+        if U_dir is not None:
+            Y = line_search(Y, jnp.asarray(U_dir), C)
+        res = solve(Y, C, typdist)
+        Y = res.Y
+        gradnorm = float(res.norm_grad)
+        total_tr += int(res.iters)
+        total_hess += int(res.inner_iters)
+
+        key, sub = jax.random.split(key)
+        z_dev, obj, dinf, num_neg, neg_vecs, neg_vals = cert_fn(Y, C, sub)
+
+        r, e, Ul = rank.truncation(Y, p)
+        log_iter(opt.verbose, it, obj, dinf=dinf, r=r, p=p, t0=t0)
+        history.append(dict(iter=it, obj=obj, dinf=dinf, r=r, p=p,
+                            gradnorm=gradnorm))
+        if dinf < opt.tol:
+            if opt.verbose:
+                print("Optimality is reached!", flush=True)
+            break
+        if slow.check(it, dinf):
+            status = 2
+            if opt.verbose:
+                print("Slow progress!", flush=True)
+            break
+
+        # ---- rank update (host) ----
+        Y_host = np.asarray(jax.device_get(Y))
+        if r <= p - 1:
+            Y_host = (Ul[:, :r].T @ Y_host)
+            p = r
+        else:
+            Y_host = Y_host[:p]
+        nne = rank.num_escape(int(num_neg))
+        vs = np.asarray(jax.device_get(neg_vecs))[:, :nne]    # (n, nne)
+        if opt.line_search:
+            U_host = np.vstack([np.zeros((p, n)), vs.T])
+            Y_host = np.vstack([Y_host, np.zeros((nne, n))])
+        else:
+            U_host = None
+            Y_host = np.vstack([Y_host, opt.alpha * vs.T])
+            Y_host = Y_host / np.sqrt(np.sum(Y_host ** 2, axis=0))
+        p = p + nne
+        p_pad = bucketed(p, opt.p_bucket)
+        Y = jnp.asarray(pad_rows(Y_host, p_pad))
+        U_dir = pad_rows(U_host, p_pad) if U_host is not None else None
+
+    else:
+        it = opt.max_outer
+
+    if status == 0 and dinf > opt.tol:
+        status = 1
+        if opt.verbose:
+            print("Iteration maximum is reached!", flush=True)
+
+    elapsed = time.time() - t0
+    if opt.verbose:
+        print(f"ManiSDP-TPU: optimum = {obj:0.8f}, time = {elapsed:0.2f}s",
+              flush=True)
+
+    Y_act = np.asarray(jax.device_get(Y))[:p]
+    X = Y_act.T @ Y_act
+    z = np.asarray(jax.device_get(z_dev)) if z_dev is not None else None
+    return SDPResult(X=X, obj=obj, Y=Y_act, z=z, dinf=dinf, eta=dinf,
+                     gradnorm=gradnorm, time=elapsed, status=status,
+                     iterations=it, fac_size=fac_size, rtr_iters=total_tr,
+                     hess_calls=total_hess, history=history)
