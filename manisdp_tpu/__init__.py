@@ -40,11 +40,17 @@ if _cache_dir:
 
 from .config import SolverOptions  # noqa: E402
 from .solvers.maxcut import solve_maxcut_unitdiag  # noqa: E402
+from .solvers.unitdiag import solve_unitdiag  # noqa: E402
+from .solvers.unittrace import solve_unittrace  # noqa: E402
+from .solvers.general import solve_sdp  # noqa: E402
 from .frontends.gset import load_gset_laplacian  # noqa: E402
 
 __all__ = [
     "SolverOptions",
     "solve_maxcut_unitdiag",
+    "solve_unitdiag",
+    "solve_unittrace",
+    "solve_sdp",
     "load_gset_laplacian",
 ]
 

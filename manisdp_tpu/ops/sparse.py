@@ -184,11 +184,24 @@ class ConstraintOp:
         return self.v.shape[0]
 
     # -- forward operator ------------------------------------------------
+    def pattern_pair_dots(self, Y, U=None):
+        """e_P = <Y[:,i], U[:,j]> on the union pattern P -> (nnzP,)."""
+        return pair_dots(Y, Y if U is None else U, self.pat.i, self.pat.j)
+
+    def apply_from_e(self, e):
+        """A(vec(M)) given M's values e on pattern P (via the a2p map)."""
+        return jax.ops.segment_sum(
+            self.v * jnp.take(e, self.a2p), self.k, num_segments=self.m,
+            indices_are_sorted=True)
+
     def apply_factored(self, Y, U=None):
-        """A(vec(Y'U)) -> (m,); U defaults to Y (then it is A(X))."""
-        e = pair_dots(Y, Y if U is None else U, self.i, self.j)
-        return jax.ops.segment_sum(self.v * e, self.k, num_segments=self.m,
-                                   indices_are_sorted=True)
+        """A(vec(Y'U)) -> (m,); U defaults to Y (then it is A(X)).
+
+        Computes the p-length dots once per PATTERN entry and fans out
+        to A-entries with a scalar gather — cheaper than per-A-entry
+        gathers whenever nnz(A) > nnz(P).
+        """
+        return self.apply_from_e(self.pattern_pair_dots(Y, U))
 
     def apply_vec(self, x):
         """A @ x for a dense vec(X) (n^2,) — used off the hot path."""

@@ -1,0 +1,349 @@
+"""Primal augmented-Lagrangian drivers for SDPs with affine constraints.
+
+One generic outer loop covering three reference drivers that share the
+AL skeleton (SURVEY §2.1) and differ only in manifold, dual shift, and
+bookkeeping:
+
+  - unitdiag   (oblique):  min <C,X> s.t. A(X)=b, diag(X)=1, X>=0
+                (src/primal/ManiSDP_unitdiag.m)
+  - unittrace  (sphere):   min <C,X> s.t. A(X)=b, tr(X)=1, X>=0
+                (src/primal/ManiSDP_unittrace.m)
+  - general    (euclidean): min <C,X> s.t. A(X)=b, X>=0
+                (src/primal/ManiSDP.m)
+
+All per-iteration math is factored: with P the union sparsity pattern
+of {C} U {A_k}, the AL cost/grad/hess touch only
+  e_P   = <Y[:,i], Y[:,j]> on P          (pair gathers)
+  w     = A(YY') via entrywise segments  (never X)
+  eS    = values of mat(c + sigma A'w) ON P
+and the dual matrix S is eigendecomposed either on host (dense, small
+n) or on device via Lanczos+LOBPCG matvecs on the pattern.
+
+Note: constraint matrices A_k and C are assumed symmetric (SeDuMi
+semantics; the reference generators emit symmetric entries), which lets
+A(vec(Y'U)) use either argument order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SolverOptions, merged_options
+from ..core import Problem, TROptions, make_trustregions
+from ..manifolds import Euclidean, Oblique, Sphere
+from ..ops.eigs import lobpcg_certificate
+from ..ops.sparse import ConstraintOp
+from .common import (JitCache, RankController, SDPResult, SlowProgress,
+                     bucketed, gram_svd, log_iter, make_line_search,
+                     pad_rows)
+
+
+@dataclasses.dataclass(frozen=True)
+class ALVariant:
+    name: str                  # key into VARIANT_DEFAULTS
+    manifold: type
+    shift: str                 # "diag" | "trace" | "none"
+    nne_floor: bool
+    slow_period: int
+    slow_warmup: int
+
+
+VARIANTS = {
+    "unitdiag": ALVariant("unitdiag", Oblique, "diag", True, 50, 100),
+    "unittrace": ALVariant("unittrace", Sphere, "trace", False, 20, 50),
+    "general": ALVariant("general", Euclidean, "none", False, 20, 50),
+}
+
+
+def _make_problem(variant: ALVariant):
+    """cost/grad/hess with explicit aux flow.
+
+    params = dict(op=ConstraintOp, y=(m,), sigma=scalar).
+    aux    = (Axb, e_P): AL residual and pattern pair-dots.
+    gaux   = per-variant gradient byproducts needed by hess.
+    """
+    M = variant.manifold
+
+    def cost(Y, params):
+        op, y, sigma = params["op"], params["y"], params["sigma"]
+        e = op.pattern_pair_dots(Y)
+        cx = jnp.dot(op.pat.v, e)
+        Axb = op.apply_from_e(e) - op.b - y / sigma
+        f = cx + 0.5 * sigma * jnp.dot(Axb, Axb)
+        return f, (Axb, e)
+
+    def grad(Y, params, aux):
+        op, sigma = params["op"], params["sigma"]
+        Axb, e = aux
+        es = op.es_vals(Axb, sigma)
+        eG = 2.0 * op.pat.matmat_vals(Y, es)
+        if variant.shift == "diag":
+            YeG = jnp.sum(Y * eG, axis=0)
+            G = eG - Y * YeG[None, :]
+            return G, (es, YeG)
+        elif variant.shift == "trace":
+            z = jnp.dot(es, e)
+            G = eG - 2.0 * z * Y
+            return G, (es, z)
+        else:
+            return eG, (es, None)
+
+    def hess(Y, U, params, aux, gaux):
+        op, sigma = params["op"], params["sigma"]
+        es, extra = gaux
+        w = op.apply_factored(Y, U)                  # A vec(Y'U)
+        ayu = op.adjoint_on_pattern(w)               # mat(A'A vec) on P
+        eH = 2.0 * op.pat.matmat_vals(U, es) \
+            + 4.0 * sigma * op.pat.matmat_vals(Y, ayu)
+        if variant.shift == "diag":
+            YeG = extra
+            return eH - Y * jnp.sum(Y * eH, axis=0, keepdims=True) \
+                - U * YeG[None, :]
+        elif variant.shift == "trace":
+            z = extra
+            return eH - jnp.sum(eH * Y) * Y - 2.0 * z * U
+        else:
+            return eH
+
+    def cost_only(Y, params):
+        return cost(Y, params)[0]
+
+    return Problem(manifold=M, cost=cost, grad=grad, hess=hess), cost_only
+
+
+def _make_stats(variant: ALVariant):
+    """Post-RTR residuals / multiplier update / dual values, one jit."""
+
+    @jax.jit
+    def stats(Y, op, y, sigma):
+        e = op.pattern_pair_dots(Y)
+        obj = jnp.dot(op.pat.v, e)
+        Ax = op.apply_from_e(e)
+        Axb = Ax - op.b
+        normb = 1.0 + jnp.linalg.norm(op.b)
+        pinf = jnp.linalg.norm(Axb) / normb
+        y_new = y - sigma * Axb
+        sv = op.s_vals(y_new)                        # c - A'y on P
+        by = jnp.dot(op.b, y_new)
+        if variant.shift == "diag":
+            z = jax.ops.segment_sum(sv * e, op.pat.j,
+                                    num_segments=op.n,
+                                    indices_are_sorted=True)
+            by = by + jnp.sum(z)
+        elif variant.shift == "trace":
+            z = jnp.dot(sv, e)
+            by = by + z
+        else:
+            z = jnp.zeros(())
+        gap = jnp.abs(obj - by) / (jnp.abs(by) + jnp.abs(obj) + 1.0)
+        return obj, pinf, y_new, sv, z, by, gap
+
+    return stats
+
+
+def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
+                      use_eigh: bool):
+    """Eigen-certificate of S = mat(sv) - shift(z)."""
+    if use_eigh:
+        pi = np.asarray(op_host.pat.i)
+        pj = np.asarray(op_host.pat.j)
+
+        def cert(op, sv, z, key):
+            sv_h = np.asarray(jax.device_get(sv))
+            S = np.zeros((n, n))
+            np.add.at(S, (pi, pj), sv_h)
+            if variant.shift == "diag":
+                S[np.arange(n), np.arange(n)] -= np.asarray(
+                    jax.device_get(z))
+            elif variant.shift == "trace":
+                S[np.arange(n), np.arange(n)] -= float(z)
+            vals, vecs = np.linalg.eigh(S)
+            return (vals[0], vals[-1], int(np.sum(vals < 0)),
+                    vecs[:, :k], vals[:k], S)
+
+        return cert
+
+    @jax.jit
+    def lob(op, sv, z, key):
+        def matvec(V):
+            SV = op.pat.matvec_block(V, sv)
+            if variant.shift == "diag":
+                SV = SV - z[:, None] * V
+            elif variant.shift == "trace":
+                SV = SV - z * V
+            return SV
+        return lobpcg_certificate(matvec, n, k, key)
+
+    def cert(op, sv, z, key):
+        res = lob(op, sv, z, key)
+        return (float(res.lam_min), float(res.lam_max), int(res.num_neg),
+                np.asarray(jax.device_get(res.neg_vecs)),
+                np.asarray(jax.device_get(res.neg_vals)), None)
+
+    return cert
+
+
+def solve_primal_al(variant_name: str, op: ConstraintOp,
+                    options: Optional[SolverOptions] = None,
+                    Y0: Optional[np.ndarray] = None,
+                    **overrides) -> SDPResult:
+    variant = VARIANTS[variant_name]
+    opt = merged_options(variant.name, options, **overrides)
+    n, m = op.n, op.m
+    use_eigh = (opt.eig_method == "eigh") or \
+        (opt.eig_method == "auto" and n < opt.eig_switch_n)
+    k_cert = opt.delta + 1
+
+    if opt.verbose:
+        print(f"ManiSDP-TPU ({variant.name}) is starting...", flush=True)
+        print(f"SDP size: n = {n}, m = {m}", flush=True)
+
+    problem, cost_only = _make_problem(variant)
+    tr_opts = TROptions(maxiter=opt.tr_maxiter, maxinner=opt.tr_maxinner,
+                        tolgradnorm=opt.tolgradnorm)
+    M = variant.manifold
+
+    def factory(p_pad):
+        solve = jax.jit(make_trustregions(problem, tr_opts))
+        ls = make_line_search(cost_only, M.renormalize)
+        return solve, ls
+
+    cache = JitCache(factory)
+    stats_fn = _make_stats(variant)
+    cert_fn = _make_certificate(variant, op, n, k_cert, use_eigh)
+    rank = RankController(opt.theta, opt.delta, opt.alpha,
+                          nne_floor=variant.nne_floor, bucket=opt.p_bucket)
+    slow = SlowProgress(variant.slow_period, variant.slow_warmup)
+
+    key = jax.random.PRNGKey(opt.seed)
+    p = opt.p0 if opt.p0 > 0 else max(int(np.ceil(np.log(max(m, 2)))), 1)
+    p_pad = bucketed(p, opt.p_bucket)
+    if Y0 is not None:
+        Y0 = np.asarray(Y0, dtype=np.float64)
+        if Y0.shape[1] != n:      # accept reference (n, p) layout too
+            Y0 = Y0.T
+        p = Y0.shape[0]
+        p_pad = bucketed(p, opt.p_bucket)
+        Y = jnp.asarray(pad_rows(Y0, p_pad))
+    else:
+        key, sub = jax.random.split(key)
+        Y = M.rand(sub, p, n, p_pad)
+    U_dir = None
+
+    y = jnp.zeros(m)
+    sigma = opt.sigma0
+    status = 0
+    total_tr = total_hess = 0
+    fac_size, history = [], []
+    t0 = time.time()
+    obj = gap = pinf = dinf = gradnorm = eta = np.nan
+    sv_dev = z_dev = y_dev = None
+    it = 0
+
+    for it in range(1, opt.max_outer + 1):
+        fac_size.append(p)
+        solve, line_search = cache(p_pad)
+        params = dict(op=op, y=y, sigma=jnp.float64(sigma))
+        if U_dir is not None:
+            Y = line_search(Y, jnp.asarray(U_dir), params)
+        typdist = float(M.typicaldist(p, n))
+        res = solve(Y, params, typdist)
+        Y = res.Y
+        gradnorm = float(res.norm_grad)
+        total_tr += int(res.iters)
+        total_hess += int(res.inner_iters)
+
+        obj_d, pinf_d, y, sv_dev, z_dev, by_d, gap_d = stats_fn(
+            Y, op, y, jnp.float64(sigma))
+        obj, pinf, gap = float(obj_d), float(pinf_d), float(gap_d)
+        y_dev = y
+
+        key, sub = jax.random.split(key)
+        lam_min, lam_max, num_neg, neg_vecs, neg_vals, S_dense = cert_fn(
+            op, sv_dev, z_dev, sub)
+        dinf = max(0.0, -lam_min) / (1.0 + lam_max)
+
+        r, e_sv, Ul = rank.truncation(Y, p)
+        log_iter(opt.verbose, it, obj, gap=gap, pinf=pinf, dinf=dinf,
+                 gradnorm=gradnorm, r=r, p=p, sigma=sigma, t0=t0)
+        history.append(dict(iter=it, obj=obj, gap=gap, pinf=pinf, dinf=dinf,
+                            gradnorm=gradnorm, r=r, p=p, sigma=sigma))
+        eta = max(gap, pinf, dinf)
+        if eta < opt.tol:
+            if opt.verbose:
+                print("Optimality is reached!", flush=True)
+            break
+        if slow.check(it, gap, pinf, dinf):
+            status = 2
+            if opt.verbose:
+                print("Slow progress!", flush=True)
+            break
+
+        # ---- rank update (host) ----
+        Y_host = np.asarray(jax.device_get(Y))
+        if r <= p - 1:
+            Y_host = Ul[:, :r].T @ Y_host
+            p = r
+        else:
+            Y_host = Y_host[:p]
+        nne = rank.num_escape(num_neg)
+        vs = neg_vecs[:, :nne]
+        if opt.line_search:
+            U_host = np.vstack([np.zeros((p, n)), vs.T])
+            Y_host = np.vstack([Y_host, np.zeros((nne, n))])
+        else:
+            U_host = None
+            Y_host = np.vstack([Y_host, opt.alpha * vs.T])
+            if variant.manifold is Oblique:
+                Y_host = Y_host / np.sqrt(np.sum(Y_host ** 2, axis=0))
+            elif variant.manifold is Sphere:
+                Y_host = Y_host / np.linalg.norm(Y_host)
+        p = p + nne
+        p_pad = bucketed(p, opt.p_bucket)
+        Y = jnp.asarray(pad_rows(Y_host, p_pad))
+        U_dir = pad_rows(U_host, p_pad) if U_host is not None else None
+
+        # ---- sigma schedule ----
+        if pinf < opt.tau1 * gradnorm:
+            sigma = max(sigma / opt.gama, opt.sigma_min)
+        elif pinf > opt.tau2 * gradnorm:
+            sigma = min(sigma * opt.gama, opt.sigma_max)
+    else:
+        it = opt.max_outer
+
+    if status == 0 and eta > opt.tol:
+        status = 1
+        if opt.verbose:
+            print("Iteration maximum is reached!", flush=True)
+
+    elapsed = time.time() - t0
+    if opt.verbose:
+        print(f"ManiSDP-TPU: optimum = {obj:0.8f}, time = {elapsed:0.2f}s",
+              flush=True)
+
+    Y_act = np.asarray(jax.device_get(Y))[:p]
+    X = Y_act.T @ Y_act
+    S_host = None
+    if sv_dev is not None:
+        sv_h = np.asarray(jax.device_get(sv_dev))
+        S_host = np.zeros((n, n))
+        np.add.at(S_host, (np.asarray(op.pat.i), np.asarray(op.pat.j)), sv_h)
+        if variant.shift == "diag":
+            S_host[np.arange(n), np.arange(n)] -= np.asarray(
+                jax.device_get(z_dev))
+        elif variant.shift == "trace":
+            S_host[np.arange(n), np.arange(n)] -= float(z_dev)
+    return SDPResult(
+        X=X, obj=obj, Y=Y_act,
+        y=np.asarray(jax.device_get(y_dev)) if y_dev is not None else None,
+        S=S_host,
+        z=np.asarray(jax.device_get(z_dev)) if z_dev is not None else None,
+        gap=gap, pinf=pinf, dinf=dinf, eta=eta, gradnorm=gradnorm,
+        time=elapsed, status=status, iterations=it, fac_size=fac_size,
+        rtr_iters=total_tr, hess_calls=total_hess, history=history)
