@@ -43,6 +43,8 @@ from .solvers.maxcut import solve_maxcut_unitdiag  # noqa: E402
 from .solvers.unitdiag import solve_unitdiag  # noqa: E402
 from .solvers.unittrace import solve_unittrace  # noqa: E402
 from .solvers.general import solve_sdp  # noqa: E402
+from .solvers.dual_unitdiag import solve_dual_unitdiag  # noqa: E402
+from .solvers.dual_general import solve_dual_sdp  # noqa: E402
 from .frontends.gset import load_gset_laplacian  # noqa: E402
 
 __all__ = [
@@ -51,6 +53,8 @@ __all__ = [
     "solve_unitdiag",
     "solve_unittrace",
     "solve_sdp",
+    "solve_dual_unitdiag",
+    "solve_dual_sdp",
     "load_gset_laplacian",
 ]
 

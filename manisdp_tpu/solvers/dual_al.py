@@ -1,0 +1,331 @@
+"""Dual Riemannian-ADMM drivers.
+
+    sup  <C,X> + <c,w>   s.t.  A(X) + B(w) = b,  X psd,  w free
+
+factored through the dual slack S = Y'Y living on the manifold:
+
+  - dual_unitdiag (oblique, diag(S)=1): src/dual/ManiDSDP_unitdiag.m —
+    SOS duals of BQPs;
+  - dual_general (Euclidean):           src/dual/ManiDSDP.m — SOS with
+    general multipliers.
+
+Per ADMM iteration: closed-form exact y-step (requires AA' diagonal),
+RTR inner solve on Y, multiplier updates (x, w), and the PRIMAL matrix
+X recovered from multipliers drives the eigendecomposition /
+escape-direction machinery (ManiDSDP_unitdiag.m:80-88).
+
+The multiplier x and the gradient matrix X-hat are dense n x n (as in
+the reference); their products with Y are dense MXU matmuls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SolverOptions, merged_options
+from ..core import Problem, TROptions, make_trustregions
+from ..manifolds import Euclidean, Oblique
+from ..ops.dualops import DualOp, SparseMat
+from ..ops.eigs import lobpcg_certificate
+from .common import (JitCache, RankController, SDPResult, SlowProgress,
+                     bucketed, log_iter, make_line_search, pad_rows)
+
+
+@dataclasses.dataclass(frozen=True)
+class DualVariant:
+    name: str
+    manifold: type
+    unitdiag: bool
+    nne_floor: bool
+    slow_period: int
+    slow_warmup: int
+
+
+DUAL_VARIANTS = {
+    "dual_unitdiag": DualVariant("dual_unitdiag", Oblique, True, True,
+                                 50, 100),
+    "dual_general": DualVariant("dual_general", Euclidean, False, False,
+                                20, 50),
+}
+
+
+def _common_cost(Y, op: DualOp, Xm, w, sigma):
+    S = Y.T @ Y
+    y = op.y_step(S)
+    As = op.adjoint(y) - (S - op.C) - Xm / sigma
+    Af = op.B.rmatvec(y) - op.cf - w / sigma
+    f = jnp.dot(op.b, y) + 0.5 * sigma * \
+        (jnp.sum(As * As) + jnp.dot(Af, Af))
+    return f, (S, y, As, Af)
+
+
+def _make_problem(variant: DualVariant, iAB: Optional[SparseMat]):
+    M = variant.manifold
+
+    def cost(Y, params):
+        op, Xm, w, sigma = (params["op"], params["Xm"], params["w"],
+                            params["sigma"])
+        return _common_cost(Y, op, Xm, w, sigma)
+
+    if variant.unitdiag:
+        # ManiDSDP_unitdiag.m:183-194
+        def grad(Y, params, aux):
+            op, sigma = params["op"], params["sigma"]
+            _, _, As, _ = aux
+            Xh = op.bA - sigma * As
+            eG = 2.0 * Y @ Xh
+            YeG = jnp.sum(Y * eG, axis=0)
+            return eG - Y * YeG[None, :], (Xh, YeG)
+
+        def hess(Y, U, params, aux, gaux):
+            op, sigma = params["op"], params["sigma"]
+            Xh, YeG = gaux
+            YU = Y.T @ U
+            yAU = op.adjoint(op.idAAt * op.apply(YU))
+            eH = 2.0 * U @ Xh - 4.0 * sigma * (Y @ yAU) \
+                + 2.0 * sigma * ((Y @ U.T) @ Y + (Y @ Y.T) @ U)
+            return eH - Y * jnp.sum(Y * eH, axis=0, keepdims=True) \
+                - U * YeG[None, :]
+    else:
+        # ManiDSDP.m:162-177
+        def grad(Y, params, aux):
+            op, sigma = params["op"], params["sigma"]
+            _, _, As, Af = aux
+            Xh = op.bA + sigma * (
+                _iab_mat(iAB, op.n, Af)
+                + op.adjoint(op.idAAt * op.apply(As)) - As)
+            return 2.0 * Y @ Xh, (Xh, None)
+
+        def hess(Y, U, params, aux, gaux):
+            op, sigma = params["op"], params["sigma"]
+            Xh, _ = gaux
+            YU = U.T @ Y                       # <U[:,i], Y[:,j]> dense
+            yAU = op.adjoint(op.idAAt * op.apply(YU))
+            t1 = _iab_mat(iAB, op.n, _iab_rmat(iAB, YU))
+            t2 = op.adjoint(op.idAAt * op.apply(yAU))
+            return 2.0 * U @ Xh \
+                + 2.0 * sigma * ((Y @ Y.T) @ U + (Y @ U.T) @ Y) \
+                + 4.0 * sigma * (Y @ (t1 + t2 - 2.0 * yAU))
+
+    def cost_only(Y, params):
+        return cost(Y, params)[0]
+
+    return Problem(manifold=M, cost=cost, grad=grad, hess=hess), cost_only
+
+
+def _iab_mat(iAB: SparseMat, n: int, u):
+    """mat(iAB @ u) -> dense (n, n); iAB rows are n^2 row-major."""
+    flat = jnp.zeros(n * n)
+    flat = flat.at[iAB.row_c].add(iAB.val_c * jnp.take(u, iAB.col_c))
+    return flat.reshape(n, n)
+
+
+def _iab_rmat(iAB: SparseMat, M):
+    """iAB' @ vec(M) -> (f,) for dense (n, n) M."""
+    vals = jnp.take(M.reshape(-1), iAB.row_c)
+    return jax.ops.segment_sum(iAB.val_c * vals, iAB.col_c,
+                               num_segments=iAB.ncols,
+                               indices_are_sorted=True)
+
+
+def _make_stats(variant: DualVariant, iAB: Optional[SparseMat]):
+
+    @jax.jit
+    def stats(Y, op, Xm, w, sigma, normc):
+        S = Y.T @ Y
+        y = op.y_step(S)
+        As = op.adjoint(y) - (S - op.C)
+        Af = op.B.rmatvec(y) - op.cf
+        pinf = (jnp.sqrt(jnp.sum(As * As)) + jnp.linalg.norm(Af)) / normc
+        by = jnp.dot(op.b, y)
+        if variant.unitdiag:
+            # ManiDSDP_unitdiag.m:80-88
+            Xm_new = Xm - sigma * As
+            w_new = w - sigma * Af
+            eX = Xm_new + op.bA
+            z = jnp.sum(S * eX, axis=0)
+            Xp = eX - jnp.diag(z)
+            obj = jnp.sum(op.C * eX) + jnp.dot(op.cf, w_new) + jnp.sum(z)
+        else:
+            # ManiDSDP.m:73-77
+            Xm_new = Xm + sigma * (
+                _iab_mat(iAB, op.n, Af - w / sigma)
+                + op.adjoint(op.idAAt * op.apply(As - Xm / sigma)) - As)
+            w_new = w - sigma * Af
+            eX = Xm_new + op.bA
+            z = jnp.zeros(())
+            Xp = eX
+            obj = jnp.sum(op.C * eX) + jnp.dot(op.cf, w_new)
+        gap = jnp.abs(obj - by) / (1.0 + jnp.abs(obj) + jnp.abs(by))
+        return S, y, Xm_new, w_new, Xp, z, obj, pinf, by, gap
+
+    return stats
+
+
+def solve_dual_al(variant_name: str, op: DualOp,
+                  options: Optional[SolverOptions] = None,
+                  iAB: Optional[SparseMat] = None,
+                  Y0: Optional[np.ndarray] = None,
+                  **overrides) -> SDPResult:
+    variant = DUAL_VARIANTS[variant_name]
+    opt = merged_options(variant.name, options, **overrides)
+    n, m = op.n, op.m
+    use_eigh = (opt.eig_method == "eigh") or \
+        (opt.eig_method == "auto" and n < opt.eig_switch_n)
+    k_cert = opt.delta + 1
+
+    if opt.verbose:
+        print(f"ManiSDP-TPU ({variant.name}) is starting...", flush=True)
+        print(f"SDP size: n = {n}, m = {m}", flush=True)
+
+    problem, cost_only = _make_problem(variant, iAB)
+    tr_opts = TROptions(maxiter=opt.tr_maxiter, maxinner=opt.tr_maxinner,
+                        tolgradnorm=opt.tolgradnorm)
+    M = variant.manifold
+
+    cache = JitCache(lambda p_pad: (
+        jax.jit(make_trustregions(problem, tr_opts)),
+        make_line_search(cost_only, M.renormalize)))
+    stats_fn = _make_stats(variant, iAB)
+
+    @jax.jit
+    def lob_cert(Xp, key):
+        return lobpcg_certificate(lambda V: Xp @ V, n, k_cert, key)
+
+    rank = RankController(opt.theta, opt.delta, opt.alpha,
+                          nne_floor=variant.nne_floor, bucket=opt.p_bucket)
+    slow = SlowProgress(variant.slow_period, variant.slow_warmup)
+
+    normc = float(1.0 + np.sqrt(
+        float(jnp.sum(op.C * op.C)) + float(jnp.dot(op.cf, op.cf))))
+
+    key = jax.random.PRNGKey(opt.seed)
+    # ManiDSDP_unitdiag.m:11 default p0 = ceil(log(m))
+    p = opt.p0 if opt.p0 > 0 else max(int(np.ceil(np.log(max(m, 2)))), 1)
+    p_pad = bucketed(p, opt.p_bucket)
+    if Y0 is not None:
+        Y0 = np.asarray(Y0, dtype=np.float64)
+        if Y0.shape[1] != n:
+            Y0 = Y0.T
+        p = Y0.shape[0]
+        p_pad = bucketed(p, opt.p_bucket)
+        Y = jnp.asarray(pad_rows(Y0, p_pad))
+    else:
+        key, sub = jax.random.split(key)
+        Y = M.rand(sub, p, n, p_pad)
+    U_dir = None
+
+    Xm = jnp.zeros((n, n))
+    w = jnp.zeros(op.f)
+    sigma = opt.sigma0
+    status = 0
+    total_tr = total_hess = 0
+    fac_size, history = [], []
+    t0 = time.time()
+    obj = gap = pinf = dinf = gradnorm = eta = np.nan
+    S_dev = y_dev = Xp_dev = z_dev = None
+    it = 0
+
+    for it in range(1, opt.max_outer + 1):
+        fac_size.append(p)
+        solve, line_search = cache(p_pad)
+        params = dict(op=op, Xm=Xm, w=w, sigma=jnp.float64(sigma))
+        if U_dir is not None:
+            Y = line_search(Y, jnp.asarray(U_dir), params)
+        typdist = float(M.typicaldist(p, n))
+        res = solve(Y, params, typdist)
+        Y = res.Y
+        gradnorm = float(res.norm_grad)
+        total_tr += int(res.iters)
+        total_hess += int(res.inner_iters)
+
+        (S_dev, y_dev, Xm, w, Xp_dev, z_dev, obj_d, pinf_d, by_d,
+         gap_d) = stats_fn(Y, op, Xm, w, jnp.float64(sigma), normc)
+        obj, pinf, gap = float(obj_d), float(pinf_d), float(gap_d)
+
+        if use_eigh:
+            Xp_h = np.asarray(jax.device_get(Xp_dev))
+            vals, vecs = np.linalg.eigh(Xp_h)
+            lam_min, lam_max = vals[0], vals[-1]
+            num_neg = int(np.sum(vals < 0))
+            neg_vecs = vecs[:, :k_cert]
+        else:
+            key, sub = jax.random.split(key)
+            cres = lob_cert(Xp_dev, sub)
+            lam_min = float(cres.lam_min)
+            lam_max = float(cres.lam_max)
+            num_neg = int(cres.num_neg)
+            neg_vecs = np.asarray(jax.device_get(cres.neg_vecs))
+        # note abs() in the denominator (ManiDSDP_unitdiag.m:88)
+        dinf = max(0.0, -lam_min) / (1.0 + abs(lam_max))
+
+        r, e_sv, Ul = rank.truncation(Y, p)
+        log_iter(opt.verbose, it, obj, gap=gap, pinf=pinf, dinf=dinf,
+                 gradnorm=gradnorm, r=r, p=p, sigma=sigma, t0=t0)
+        history.append(dict(iter=it, obj=obj, gap=gap, pinf=pinf, dinf=dinf,
+                            gradnorm=gradnorm, r=r, p=p, sigma=sigma))
+        eta = max(gap, pinf, dinf)
+        if eta < opt.tol:
+            if opt.verbose:
+                print("Optimality is reached!", flush=True)
+            break
+        if slow.check(it, gap, pinf, dinf):
+            status = 2
+            if opt.verbose:
+                print("Slow progress!", flush=True)
+            break
+
+        Y_host = np.asarray(jax.device_get(Y))
+        if r <= p - 1:
+            Y_host = Ul[:, :r].T @ Y_host
+            p = r
+        else:
+            Y_host = Y_host[:p]
+        nne = rank.num_escape(num_neg)
+        vs = neg_vecs[:, :nne]
+        if opt.line_search:
+            U_host = np.vstack([np.zeros((p, n)), vs.T])
+            Y_host = np.vstack([Y_host, np.zeros((nne, n))])
+        else:
+            U_host = None
+            Y_host = np.vstack([Y_host, opt.alpha * vs.T])
+            if variant.manifold is Oblique:
+                Y_host = Y_host / np.sqrt(np.sum(Y_host ** 2, axis=0))
+        p = p + nne
+        p_pad = bucketed(p, opt.p_bucket)
+        Y = jnp.asarray(pad_rows(Y_host, p_pad))
+        U_dir = pad_rows(U_host, p_pad) if U_host is not None else None
+
+        if pinf < opt.tau1 * gradnorm:
+            sigma = max(sigma / opt.gama, opt.sigma_min)
+        elif pinf > opt.tau2 * gradnorm:
+            sigma = min(sigma * opt.gama, opt.sigma_max)
+    else:
+        it = opt.max_outer
+
+    if status == 0 and eta > opt.tol:
+        status = 1
+        if opt.verbose:
+            print("Iteration maximum is reached!", flush=True)
+
+    elapsed = time.time() - t0
+    if opt.verbose:
+        print(f"ManiDSDP-TPU: optimum = {obj:0.8f}, time = {elapsed:0.2f}s",
+              flush=True)
+
+    Y_act = np.asarray(jax.device_get(Y))[:p]
+    return SDPResult(
+        X=np.asarray(jax.device_get(Xp_dev)) if Xp_dev is not None else None,
+        obj=obj, Y=Y_act,
+        y=np.asarray(jax.device_get(y_dev)) if y_dev is not None else None,
+        S=np.asarray(jax.device_get(S_dev)) if S_dev is not None else None,
+        z=np.asarray(jax.device_get(z_dev)) if z_dev is not None else None,
+        gap=gap, pinf=pinf, dinf=dinf, eta=eta, gradnorm=gradnorm,
+        time=elapsed, status=status, iterations=it, fac_size=fac_size,
+        rtr_iters=total_tr, hess_calls=total_hess, history=history)
