@@ -59,6 +59,11 @@ class SolverOptions:
     eig_method: str = "auto"
     eig_switch_n: int = 2049      # n above which "auto" uses lobpcg
     dtype: str = "float64"
+    # Cost-matrix mode for the unit-diagonal (MaxCut) driver: on TPU,
+    # f64 gathers/scatters run ~20 GB/s while dense f64 matmuls use the
+    # MXU (XLA double-float emulation), so a dense C wins whenever it
+    # fits HBM.  n <= dense_cost_max_n uses a dense C.
+    dense_cost_max_n: int = 16384
 
     def replace(self, **kw) -> "SolverOptions":
         return dataclasses.replace(self, **kw)

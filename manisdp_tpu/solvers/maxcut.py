@@ -35,11 +35,20 @@ from .common import (JitCache, RankController, SDPResult, SlowProgress,
                      bucketed, log_iter, make_line_search, pad_rows)
 
 
-def _make_inner(opt: SolverOptions):
-    """RTR solve + certificate, jit-cached per p_pad."""
+def _make_inner(opt: SolverOptions, dense: bool):
+    """RTR solve + certificate, jit-cached per p_pad.
+
+    ``dense``: C arrives as a dense (n, n) array and the hot products
+    Y@C / U@C run on the MXU — on TPU this beats any gather/scatter
+    sparse formulation for every reference-benchmark size (f64
+    segment-sum measured ~20x slower than the emulated-f64 matmul).
+    """
+
+    def matc(M, C):
+        return M @ C if dense else C.matmat(M)
 
     def cost(Y, C):
-        YC = C.matmat(Y)
+        YC = matc(Y, C)
         eG = jnp.sum(YC * Y, axis=0)
         return 0.5 * jnp.sum(eG), (YC, eG)
 
@@ -49,7 +58,7 @@ def _make_inner(opt: SolverOptions):
 
     def hess(Y, U, C, aux, gaux):
         _, eG = aux
-        UC = C.matmat(U)
+        UC = matc(U, C)
         return UC - Y * jnp.sum(Y * UC, axis=0, keepdims=True) \
             - U * eG[None, :]
 
@@ -66,7 +75,7 @@ def _make_inner(opt: SolverOptions):
 
 
 def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
-               C_dense_host):
+               C_dense_host, dense: bool):
     """Dual certificate for S = C - diag(z).
 
     Large f64 dense eigh does not compile on TPU (QDWH in emulated f64),
@@ -77,13 +86,17 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
 
     @jax.jit
     def z_obj(Y, C):
-        z = C.quad_cols(Y)
+        if dense:
+            z = jnp.sum(Y * (Y @ C), axis=0)
+        else:
+            z = C.quad_cols(Y)
         return z, jnp.sum(z)
 
     @jax.jit
     def lobpcg_cert(Y, C, z, key):
         def matvec(V):
-            return C.matvec_block(V) - z[:, None] * V
+            CV = C.T @ V if dense else C.matvec_block(V)
+            return CV - z[:, None] * V
         return lobpcg_certificate(matvec, n, k, key)
 
     def cert(Y, C, key):
@@ -125,16 +138,22 @@ def solve_maxcut_unitdiag(C, options: Optional[SolverOptions] = None,
     n = C.n
     use_eigh = (opt.eig_method == "eigh") or \
         (opt.eig_method == "auto" and n < opt.eig_switch_n)
+    dense = n <= opt.dense_cost_max_n
     C_dense_host = np.asarray(jax.device_get(C.to_dense())) if use_eigh \
         else None
+    if dense:
+        C_param = C.to_dense() if C_dense_host is None \
+            else jnp.asarray(C_dense_host)
+    else:
+        C_param = C
     k_cert = opt.delta + 1
 
     if opt.verbose:
         print("ManiSDP-TPU (maxcut/unitdiag) is starting...", flush=True)
         print(f"SDP size: n = {n}, m = {n}", flush=True)
 
-    inner_cache = JitCache(lambda p_pad: _make_inner(opt))
-    cert_fn = _make_cert(opt, n, k_cert, use_eigh, C_dense_host)
+    inner_cache = JitCache(lambda p_pad: _make_inner(opt, dense))
+    cert_fn = _make_cert(opt, n, k_cert, use_eigh, C_dense_host, dense)
     rank = RankController(opt.theta, opt.delta, opt.alpha,
                           nne_floor=True, bucket=opt.p_bucket)
     slow = SlowProgress(period=20, warmup=50)
@@ -166,15 +185,16 @@ def solve_maxcut_unitdiag(C, options: Optional[SolverOptions] = None,
         fac_size.append(p)
         solve, line_search = inner_cache(p_pad)
         if U_dir is not None:
-            Y = line_search(Y, jnp.asarray(U_dir), C)
-        res = solve(Y, C, typdist)
+            Y = line_search(Y, jnp.asarray(U_dir), C_param)
+        res = solve(Y, C_param, typdist)
         Y = res.Y
         gradnorm = float(res.norm_grad)
         total_tr += int(res.iters)
         total_hess += int(res.inner_iters)
 
         key, sub = jax.random.split(key)
-        z_dev, obj, dinf, num_neg, neg_vecs, neg_vals = cert_fn(Y, C, sub)
+        z_dev, obj, dinf, num_neg, neg_vecs, neg_vals = cert_fn(
+            Y, C_param, sub)
 
         r, e, Ul = rank.truncation(Y, p)
         log_iter(opt.verbose, it, obj, dinf=dinf, r=r, p=p, t0=t0)
