@@ -59,11 +59,14 @@ class SolverOptions:
     eig_method: str = "auto"
     eig_switch_n: int = 2049      # n above which "auto" uses lobpcg
     dtype: str = "float64"
-    # Cost-matrix mode for the unit-diagonal (MaxCut) driver: on TPU,
-    # f64 gathers/scatters run ~20 GB/s while dense f64 matmuls use the
-    # MXU (XLA double-float emulation), so a dense C wins whenever it
-    # fits HBM.  n <= dense_cost_max_n uses a dense C.
-    dense_cost_max_n: int = 16384
+    # Cost-matrix mode for the unit-diagonal (MaxCut) driver: dense
+    # MXU matmuls (emulated f64) win for small n where scatter latency
+    # dominates; the O(nnz) gather/segment path wins once n^2 FLOPs
+    # outgrow it (measured on TPU v5e: G1 n=800 dense 5x faster, G67
+    # n=10^4 sparse ~600x faster).  Dense iff n <= dense_cost_max_n or
+    # n^2 <= dense_cost_nnz_factor * nnz.
+    dense_cost_max_n: int = 2048
+    dense_cost_nnz_factor: int = 64
 
     def replace(self, **kw) -> "SolverOptions":
         return dataclasses.replace(self, **kw)
@@ -128,11 +131,11 @@ VARIANT_DEFAULTS = {
         sigma_max=1e7, theta=1e-2, delta=8, alpha=0.01,
         tr_maxinner=20, tr_maxiter=4, tau1=0.1, tau2=1.0, line_search=True,
     ),
-    # src/dual/ManiDSDP_multiblock.m
+    # src/dual/ManiDSDP_multiblock.m:12-28
     "dual_multiblock": dict(
-        p0=0, max_outer=1000, gama=2.0, sigma0=1e-2, sigma_min=1e-3,
-        sigma_max=1e7, theta=1e-3, delta=8, alpha=0.1,
-        tr_maxinner=20, tr_maxiter=4, tau1=1e1, tau2=1e2, line_search=False,
+        p0=1, max_outer=1000, gama=2.0, sigma0=1e-1, sigma_min=1e-2,
+        sigma_max=1e7, theta=1e-2, delta=8, alpha=0.2,
+        tr_maxinner=20, tr_maxiter=4, tau1=1e1, tau2=1e1, line_search=True,
         min_facsize=2,
     ),
 }

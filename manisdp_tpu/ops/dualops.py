@@ -95,10 +95,17 @@ class DualOp:
     f: int = dataclasses.field(metadata=dict(static=True))
 
     @staticmethod
-    def build(A, b, c, n: int, f: int = 0, dAAt=None) -> "DualOp":
+    def build(A, b, c, n: int, f: int = 0, dAAt=None,
+              ns=None) -> "DualOp":
         """A: (m, f + n^2) scipy sparse, SeDuMi dual layout (free block
         first, ManiDSDP_unitdiag.m:34-37); c likewise; vec is
-        column-major (MATLAB)."""
+        column-major (MATLAB).
+
+        Multiblock (``ns`` given): the PSD columns hold the stacked
+        per-block vecs; they are remapped into the flat N = sum(n_i)
+        column space (global block-diagonal (i, j) indices), and ``n``
+        is ignored in favor of N.
+        """
         import scipy.sparse as sp
         A = sp.csr_matrix(A)
         m = A.shape[0]
@@ -109,9 +116,28 @@ class DualOp:
         Ap = A[:, f:].tocoo()
 
         kk = Ap.row.astype(np.int64)
-        lin_cm = Ap.col.astype(np.int64)          # column-major
-        ii = lin_cm % n
-        jj = lin_cm // n
+        lin_cm = Ap.col.astype(np.int64)          # column-major stacked
+        if ns is not None:
+            nsa = np.asarray(ns, dtype=np.int64)
+            off = np.concatenate([[0], np.cumsum(nsa)])
+            off2 = np.concatenate([[0], np.cumsum(nsa ** 2)])
+            n = int(off[-1])
+
+            def to_ij(lin_idx):
+                bl = np.searchsorted(off2, lin_idx, side="right") - 1
+                loc = lin_idx - off2[bl]
+                return loc % nsa[bl] + off[bl], loc // nsa[bl] + off[bl]
+
+            ii, jj = to_ij(lin_cm)
+            # dense C from stacked block vecs
+            cs_full = np.zeros((n, n))
+            cl = np.nonzero(cs)[0].astype(np.int64)
+            ci, cjj = to_ij(cl)
+            np.add.at(cs_full, (ci, cjj), cs[cl])
+            cs = cs_full.flatten(order="F")
+        else:
+            ii = lin_cm % n
+            jj = lin_cm // n
         lin = ii * n + jj                          # row-major for device
         vv = Ap.data.astype(np.float64)
 

@@ -151,22 +151,65 @@ class ConstraintOp:
         ii = (lin % n).astype(np.int64)
         jj = (lin // n).astype(np.int64)
         vv = coo.data.astype(np.float64)
-        order = np.argsort(kk, kind="stable")
-        kk, ii, jj, vv = kk[order], ii[order], jj[order], vv[order]
 
         c = np.asarray(c).ravel().astype(np.float64)
         c_sp = sp.coo_matrix(c.reshape(n, n, order="F"))
+        return ConstraintOp._assemble(
+            kk, ii, jj, vv,
+            c_sp.row.astype(np.int64), c_sp.col.astype(np.int64),
+            c_sp.data.astype(np.float64), b, n, m)
+
+    @staticmethod
+    def build_multiblock(At, b, c, ns) -> "ConstraintOp":
+        """Multi-block SeDuMi data: At (sum n_i^2, m) with blockwise
+        column-major vec stacking (ManiSDP_multiblock.m:67-72).  The
+        blocks collapse into a single (sum n_i)-column space: entry L
+        of block bl at local (i, j) maps to global
+        (off_bl + i, off_bl + j).  X stays block-diagonal because no
+        constraint couples columns of different blocks.
+        """
+        import scipy.sparse as sp
+        ns = np.asarray(ns, dtype=np.int64)
+        off = np.concatenate([[0], np.cumsum(ns)])
+        off2 = np.concatenate([[0], np.cumsum(ns ** 2)])
+        N = int(off[-1])
+
+        def to_global(lin):
+            bl = np.searchsorted(off2, lin, side="right") - 1
+            loc = lin - off2[bl]
+            i = loc % ns[bl] + off[bl]
+            j = loc // ns[bl] + off[bl]
+            return i, j
+
+        A = sp.csr_matrix(At.T) if not sp.issparse(At) else At.T.tocsr()
+        m = A.shape[0]
+        coo = A.tocoo()
+        kk = coo.row.astype(np.int64)
+        ii, jj = to_global(coo.col.astype(np.int64))
+        vv = coo.data.astype(np.float64)
+
+        c = np.asarray(c).ravel().astype(np.float64)
+        cl = np.nonzero(c)[0].astype(np.int64)
+        ci, cj = to_global(cl)
+        return ConstraintOp._assemble(kk, ii, jj, vv, ci, cj, c[cl],
+                                      b, N, m)
+
+    @staticmethod
+    def _assemble(kk, ii, jj, vv, ci, cj, cv, b, n, m) -> "ConstraintOp":
+        import scipy.sparse as sp
+        order = np.argsort(kk, kind="stable")
+        kk, ii, jj, vv = kk[order], ii[order], jj[order], vv[order]
 
         # union pattern P, sorted by (j, i)
         keys_a = jj * n + ii
-        keys_c = c_sp.col.astype(np.int64) * n + c_sp.row.astype(np.int64)
+        keys_c = cj * n + ci
         pat_keys = np.unique(np.concatenate([keys_a, keys_c]))
         p_i = (pat_keys % n).astype(np.int32)
         p_j = (pat_keys // n).astype(np.int32)
         a2p = np.searchsorted(pat_keys, keys_a).astype(np.int32)
         c2p = np.searchsorted(pat_keys, keys_c)
         c_on_p = np.zeros(pat_keys.shape[0], dtype=np.float64)
-        np.add.at(c_on_p, c2p, c_sp.data.astype(np.float64))
+        np.add.at(c_on_p, c2p, cv)
 
         pat = SymCOO(i=jnp.asarray(p_i), j=jnp.asarray(p_j),
                      v=jnp.asarray(c_on_p), n=n)

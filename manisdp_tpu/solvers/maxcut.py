@@ -138,7 +138,8 @@ def solve_maxcut_unitdiag(C, options: Optional[SolverOptions] = None,
     n = C.n
     use_eigh = (opt.eig_method == "eigh") or \
         (opt.eig_method == "auto" and n < opt.eig_switch_n)
-    dense = n <= opt.dense_cost_max_n
+    dense = (n <= opt.dense_cost_max_n or
+             n * n <= opt.dense_cost_nnz_factor * C.nnz)
     C_dense_host = np.asarray(jax.device_get(C.to_dense())) if use_eigh \
         else None
     if dense:
