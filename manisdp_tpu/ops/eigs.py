@@ -78,30 +78,83 @@ def lanczos_bounds(matvec: Callable, n: int, key, iters: int = 48):
 
 
 def lobpcg_certificate(matvec: Callable, n: int, k: int, key,
-                       maxiter: int = 200, tol: float = 1e-9) -> CertResult:
+                       maxiter: int = 400, tol: float = 1e-10,
+                       deflate=None, X0=None) -> CertResult:
     """Bottom-k eigenpairs of S via LOBPCG on B = shift*I - S.
 
-    lambda_max(S) is taken from the Lanczos bound (sufficient for the
-    dinf denominator: an overestimate only makes dinf conservative).
+    Correctness-critical details (the escape certificate at 1e-8 is the
+    hardest part of the whole solver, SURVEY §7):
+
+    - ``deflate``: the factor Y (p, n).  Near a stationary point S has
+      a p-dimensional near-null cluster spanned by Y's ROWS (grad = 0
+      means Y S ~ 0), which hides the true lambda_min from an
+      unpreconditioned iteration.  We orthonormalize Y's rows
+      (Cholesky-QR, p x p) and run LOBPCG on P B P with
+      P = I - Q'Q; the deflated spectrum isolates the true bottom.
+      The Y-subspace eigenvalues are bounded separately through the
+      small projected matrix Q S Q' and folded into lam_min.
+    - residual-based lower bounds: the reported lam_min is
+      ritz - ||residual||, so an unconverged eigensolve yields a
+      CONSERVATIVE dinf that cannot falsely certify optimality.
+    - ``X0`` warm-starts the block from the previous outer iteration.
+
+    lambda_max(S) comes from the Lanczos bound (an overestimate only
+    makes dinf conservative).
     """
     key_l, key_x = jax.random.split(key)
     lo, hi = lanczos_bounds(matvec, n, key_l)
     shift = hi + 0.01 * jnp.maximum(hi - lo, 1.0)
 
-    def b_matvec(V):
-        return shift * V - matvec(V)
+    if deflate is not None:
+        Yd = deflate
+        G = Yd @ Yd.T
+        p_d = G.shape[0]
+        R = jnp.linalg.cholesky(G + 1e-14 * jnp.trace(G)
+                                * jnp.eye(p_d))
+        Q = jax.scipy.linalg.solve_triangular(R, Yd, lower=True)  # (p, n)
 
-    X0 = jax.random.normal(key_x, (n, k), dtype=jnp.float64)
+        def proj(V):
+            return V - Q.T @ (Q @ V)
+    else:
+        Q = None
+
+        def proj(V):
+            return V
+
+    def b_matvec(V):
+        BV = shift * proj(V) - matvec(proj(V))
+        return proj(BV)
+
+    if X0 is None:
+        X0 = jax.random.normal(key_x, (n, k), dtype=jnp.float64)
+    else:
+        X0 = X0 + 1e-8 * jax.random.normal(key_x, (n, k),
+                                           dtype=jnp.float64)
+    X0 = proj(X0)
     theta, U, _ = lobpcg_standard(b_matvec, X0, m=maxiter, tol=tol)
     s_vals = shift - theta                      # ascending in S
     order = jnp.argsort(s_vals)
     s_vals = s_vals[order]
     U = U[:, order]
-    # Rayleigh refinement of lambda_max for the denominator
-    lam_max = hi
+
+    # residual-based conservative lower bounds: lam_true >= ritz - ||r||
+    SU = matvec(U)
+    resid = jnp.linalg.norm(SU - U * s_vals[None, :], axis=0)
+    s_lower = s_vals - resid
+
+    lam_min = s_lower[0]
+    if Q is not None:
+        # bound the deflated-out Y-subspace: M = Q S Q' (p x p)
+        SQt = matvec(Q.T)                       # (n, p)
+        M = Q @ SQt
+        M = 0.5 * (M + M.T)
+        mw = jnp.linalg.eigvalsh(M)
+        coupling = jnp.linalg.norm(SQt - Q.T @ M)
+        lam_min = jnp.minimum(lam_min, mw[0] - coupling)
+
     return CertResult(
-        lam_min=s_vals[0], lam_max=lam_max,
-        num_neg=jnp.sum(s_vals < 0),            # clipped at k by construction
+        lam_min=lam_min, lam_max=hi,
+        num_neg=jnp.sum(s_lower < 0),
         neg_vecs=U, neg_vals=s_vals)
 
 

@@ -214,7 +214,7 @@ def solve_dual_al(variant_name: str, op: DualOp,
         if Y0.shape[1] != n:
             Y0 = Y0.T
         p = Y0.shape[0]
-        p_pad = bucketed(p, opt.p_bucket)
+        p_pad = max(p_pad, bucketed(p, opt.p_bucket))
         Y = jnp.asarray(pad_rows(Y0, p_pad))
     else:
         key, sub = jax.random.split(key)
@@ -298,7 +298,7 @@ def solve_dual_al(variant_name: str, op: DualOp,
             if variant.manifold is Oblique:
                 Y_host = Y_host / np.sqrt(np.sum(Y_host ** 2, axis=0))
         p = p + nne
-        p_pad = bucketed(p, opt.p_bucket)
+        p_pad = max(p_pad, bucketed(p, opt.p_bucket))
         Y = jnp.asarray(pad_rows(Y_host, p_pad))
         U_dir = pad_rows(U_host, p_pad) if U_host is not None else None
 

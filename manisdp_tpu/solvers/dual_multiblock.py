@@ -296,7 +296,7 @@ def solve_dual_multiblock(A, b, c, ns: Sequence[int], nob: int,
                             np.sum(Yb ** 2, axis=0))
                 ps[bidx] = pb + nne
         p_act = max(max(ps), 1)
-        p_pad = bucketed(p_act, opt.p_bucket)
+        p_pad = max(p_pad, bucketed(p_act, opt.p_bucket))
         Y = jnp.asarray(pad_rows(Y_host[:p_act], p_pad))
         U_dir = pad_rows(U_host[:p_act], p_pad) if U_host is not None \
             else None

@@ -93,11 +93,13 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
         return z, jnp.sum(z)
 
     @jax.jit
-    def lobpcg_cert(Y, C, z, key):
+    def lobpcg_cert(Y, C, z, key, X0):
         def matvec(V):
             CV = C.T @ V if dense else C.matvec_block(V)
             return CV - z[:, None] * V
-        return lobpcg_certificate(matvec, n, k, key)
+        return lobpcg_certificate(matvec, n, k, key, deflate=Y, X0=X0)
+
+    warm = {"X0": None}
 
     def cert(Y, C, key):
         z, obj = z_obj(Y, C)
@@ -109,7 +111,12 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
             num_neg = int(np.sum(vals < 0))
             neg_vecs, neg_vals = vecs[:, :k], vals[:k]
         else:
-            res = lobpcg_cert(Y, C, z, key)
+            X0 = warm["X0"]
+            if X0 is None:
+                X0 = jax.random.normal(
+                    jax.random.fold_in(key, 1), (n, k), dtype=jnp.float64)
+            res = lobpcg_cert(Y, C, z, key, X0)
+            warm["X0"] = res.neg_vecs
             lam_min = float(res.lam_min)
             lam_max = float(res.lam_max)
             num_neg = int(res.num_neg)
@@ -228,7 +235,7 @@ def solve_maxcut_unitdiag(C, options: Optional[SolverOptions] = None,
             Y_host = np.vstack([Y_host, opt.alpha * vs.T])
             Y_host = Y_host / np.sqrt(np.sum(Y_host ** 2, axis=0))
         p = p + nne
-        p_pad = bucketed(p, opt.p_bucket)
+        p_pad = max(p_pad, bucketed(p, opt.p_bucket))
         Y = jnp.asarray(pad_rows(Y_host, p_pad))
         U_dir = pad_rows(U_host, p_pad) if U_host is not None else None
 

@@ -154,7 +154,7 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
         pi = np.asarray(op_host.pat.i)
         pj = np.asarray(op_host.pat.j)
 
-        def cert(op, sv, z, key):
+        def cert(Y, op, sv, z, key):
             sv_h = np.asarray(jax.device_get(sv))
             S = np.zeros((n, n))
             np.add.at(S, (pi, pj), sv_h)
@@ -170,7 +170,7 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
         return cert
 
     @jax.jit
-    def lob(op, sv, z, key):
+    def lob(Y, op, sv, z, key, X0):
         def matvec(V):
             SV = op.pat.matvec_block(V, sv)
             if variant.shift == "diag":
@@ -178,10 +178,17 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
             elif variant.shift == "trace":
                 SV = SV - z * V
             return SV
-        return lobpcg_certificate(matvec, n, k, key)
+        return lobpcg_certificate(matvec, n, k, key, deflate=Y, X0=X0)
 
-    def cert(op, sv, z, key):
-        res = lob(op, sv, z, key)
+    warm = {"X0": None}
+
+    def cert(Y, op, sv, z, key):
+        X0 = warm["X0"]
+        if X0 is None:
+            X0 = jax.random.normal(jax.random.fold_in(key, 1), (n, k),
+                                   dtype=jnp.float64)
+        res = lob(Y, op, sv, z, key, X0)
+        warm["X0"] = res.neg_vecs
         return (float(res.lam_min), float(res.lam_max), int(res.num_neg),
                 np.asarray(jax.device_get(res.neg_vecs)),
                 np.asarray(jax.device_get(res.neg_vals)), None)
@@ -229,7 +236,7 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
         if Y0.shape[1] != n:      # accept reference (n, p) layout too
             Y0 = Y0.T
         p = Y0.shape[0]
-        p_pad = bucketed(p, opt.p_bucket)
+        p_pad = max(p_pad, bucketed(p, opt.p_bucket))
         Y = jnp.asarray(pad_rows(Y0, p_pad))
     else:
         key, sub = jax.random.split(key)
@@ -266,7 +273,7 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
 
         key, sub = jax.random.split(key)
         lam_min, lam_max, num_neg, neg_vecs, neg_vals, S_dense = cert_fn(
-            op, sv_dev, z_dev, sub)
+            Y, op, sv_dev, z_dev, sub)
         dinf = max(0.0, -lam_min) / (1.0 + lam_max)
 
         r, e_sv, Ul = rank.truncation(Y, p)
@@ -305,7 +312,7 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
             elif variant.manifold is Sphere:
                 Y_host = Y_host / np.linalg.norm(Y_host)
         p = p + nne
-        p_pad = bucketed(p, opt.p_bucket)
+        p_pad = max(p_pad, bucketed(p, opt.p_bucket))
         Y = jnp.asarray(pad_rows(Y_host, p_pad))
         U_dir = pad_rows(U_host, p_pad) if U_host is not None else None
 

@@ -6,5 +6,5 @@
 # single TPU chip and blocks any concurrent TPU job.  Unsetting it keeps
 # tests purely on CPU (tests/conftest.py also forces the cpu platform
 # and an 8-device virtual mesh).
-exec env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+exec env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu MANISDP_JAX_CACHE= \
     python -m pytest tests/ -q "$@"
