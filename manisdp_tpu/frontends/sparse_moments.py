@@ -104,6 +104,160 @@ def bqpsos_sparse(n: int, cliques, coe: np.ndarray):
     return A, b, c, [int(x) for x in mb], 1, dAAt
 
 
+def sparse_quartic_basis(n: int, cliques) -> np.ndarray:
+    """Full deg<=4 label union over cliques, lexicographic rows —
+    indexes ``coe`` for the sparse quartic programs
+    (example_qsphere_sparse.m:8-14)."""
+    cols = [_clique_basis(n, I, 4, None, False) for I in cliques]
+    return np.unique(np.concatenate(cols, axis=1).T, axis=0).T
+
+
+def qsmom_sparse(n: int, cliques, coe: np.ndarray) -> SedumiData:
+    """Sparse moment relaxation of
+    min sum_k coe_k'[x_{I_k}]_4 s.t. ||x_{I_k}||^2 = 1 (qsmom_sparse.m)."""
+    coe = np.asarray(coe, dtype=np.float64).ravel()
+    t = len(cliques)
+    cliques = [list(map(int, I)) for I in cliques]
+    bases = [_clique_basis(n, I, 2, None, False) for I in cliques]
+    mb = np.array([bb.shape[1] for bb in bases])
+    spm = sparse_quartic_basis(n, cliques)
+    lsp = spm.shape[1]
+    spidx = {tuple(spm[:, i]): i for i in range(lsp)}
+    assert coe.shape[0] == lsp
+
+    ss = np.concatenate([[0], np.cumsum(mb ** 2)])
+
+    def ent(k, r, c):
+        return int(ss[k] + c * mb[k] + r)
+
+    mm = [[] for _ in range(lsp)]
+    for k in range(t):
+        bk = bases[k]
+        for i in range(mb[k]):
+            for j in range(i, mb[k]):
+                lab = spidx[tuple(bk[:, i] + bk[:, j])]
+                mm[lab].append((i, j, k))
+    loa = [np.array([[ent(k, i, j), ent(k, j, i)] for (i, j, k) in pairs],
+                    dtype=np.int64).ravel() for pairs in mm]
+
+    def class_entries(lab):
+        ent_idx = []
+        for jj, (a, b_, k) in enumerate(mm[lab]):
+            if a == b_:
+                ent_idx.append(loa[lab][2 * jj + 1])
+            else:
+                ent_idx += [loa[lab][2 * jj], loa[lab][2 * jj + 1]]
+        return ent_idx, len(ent_idx)
+
+    rows, cols, vals = [0], [0], [1.0]
+    l = 1
+    # per-clique sphere localization (qsmom_sparse.m:43-77)
+    for k in range(t):
+        bk = bases[k]
+        for i in range(mb[k]):
+            for v in cliques[k]:
+                ek2 = np.zeros(n, dtype=np.int64)
+                ek2[v] = 2
+                idxs, s1 = class_entries(spidx[tuple(bk[:, i] + ek2)])
+                rows += idxs
+                cols += [l] * s1
+                vals += [1.0 / s1] * s1
+            idxs, s2 = class_entries(spidx[tuple(bk[:, i])])
+            rows += idxs
+            cols += [l] * s2
+            vals += [-1.0 / s2] * s2
+            l += 1
+    # repeated-position equality (:79-105)
+    for lab in range(lsp):
+        firsts = [pq[0] for pq in mm[lab]]
+        idx = int(np.argmax(firsts))
+        for j in range(len(mm[lab])):
+            if j == idx:
+                continue
+            for which, sign in ((idx, 1.0), (j, -1.0)):
+                a, b_, k = mm[lab][which]
+                if a == b_:
+                    rows += [loa[lab][2 * which + 1]]
+                    cols += [l]
+                    vals += [sign]
+                else:
+                    rows += [loa[lab][2 * which], loa[lab][2 * which + 1]]
+                    cols += [l, l]
+                    vals += [0.5 * sign, 0.5 * sign]
+            l += 1
+
+    ncons = int((mb * (mb + 1) // 2).sum() - lsp + mb.sum() + 1)
+    assert l == ncons, (l, ncons)
+    At = sp.coo_matrix((vals, (rows, cols)),
+                       shape=(int((mb ** 2).sum()), ncons)).tocsc()
+    b = np.zeros(ncons)
+    b[0] = 1.0
+
+    c = np.zeros(int((mb ** 2).sum()))
+    for lab in range(lsp):
+        idxs, s = class_entries(lab)
+        if s:
+            c[idxs] = coe[lab] / s
+    return SedumiData(At=At, b=b, c=c,
+                      K=Cone(s=[int(x) for x in mb], nob=0))
+
+
+def qssos_sparse(n: int, cliques, coe: np.ndarray):
+    """Sparse SOS relaxation of the clique quartic-sphere program
+    (qssos_sparse.m).  Returns (A, b, c, mbs, f, dAAt) for
+    solve_dual_multiblock with nob=0."""
+    coe = np.asarray(coe, dtype=np.float64).ravel()
+    t = len(cliques)
+    cliques = [list(map(int, I)) for I in cliques]
+    bases = [_clique_basis(n, I, 2, None, False) for I in cliques]
+    mb = np.array([bb.shape[1] for bb in bases])
+    cql = np.array([len(I) for I in cliques])
+    spm = sparse_quartic_basis(n, cliques)
+    lsp = spm.shape[1]
+    spidx = {tuple(spm[:, i]): i for i in range(lsp)}
+    assert coe.shape[0] == lsp
+
+    f = int(mb.sum()) + 1
+    ssb = np.concatenate([[0], np.cumsum(mb)]) + 1      # free offsets
+    ssp = np.concatenate([[0], np.cumsum(mb ** 2)]) + f  # psd offsets
+    rows, cols, vals = [0], [0], [1.0]
+    dAAt = np.zeros(lsp)
+    for k in range(t):
+        bk = bases[k]
+        for i in range(mb[k]):
+            for j in range(cql[k] + 1):
+                temp = np.zeros(n, dtype=np.int64)
+                v = 1.0
+                if j < cql[k]:
+                    temp[cliques[k][j]] = 2
+                else:
+                    v = -1.0
+                rows.append(spidx[tuple(bk[:, i] + temp)])
+                cols.append(int(ssb[k] + i))
+                vals.append(v)
+    for k in range(t):
+        bk = bases[k]
+        for i in range(mb[k]):
+            for j in range(i, mb[k]):
+                lab = spidx[tuple(bk[:, i] + bk[:, j])]
+                rows.append(lab)
+                cols.append(int(ssp[k] + i * mb[k] + j))
+                vals.append(1.0)
+                if j > i:
+                    rows.append(lab)
+                    cols.append(int(ssp[k] + j * mb[k] + i))
+                    vals.append(1.0)
+                    dAAt[lab] += 2.0
+                else:
+                    dAAt[lab] += 1.0
+    nvar = f + int((mb ** 2).sum())
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(lsp, nvar)).tocsr()
+    b = coe.copy()
+    c = np.zeros(nvar)
+    c[0] = 1.0
+    return A, b, c, [int(x) for x in mb], f, dAAt
+
+
 def bqpmom_sparse(n: int, cliques, coe: np.ndarray) -> SedumiData:
     """Sparse moment relaxation of
     min sum_k coe_k' [x_{I_k}]_2  s.t. x_i^2 = 1  (bqpmom_sparse.m)."""
