@@ -101,61 +101,58 @@ def lobpcg_certificate(matvec: Callable, n: int, k: int, key,
     lambda_max(S) comes from the Lanczos bound (an overestimate only
     makes dinf conservative).
     """
-    key_l, key_x = jax.random.split(key)
+    key_l, key_x, key_q = jax.random.split(key, 3)
     lo, hi = lanczos_bounds(matvec, n, key_l)
     shift = hi + 0.01 * jnp.maximum(hi - lo, 1.0)
 
-    if deflate is not None:
-        Yd = deflate
-        G = Yd @ Yd.T
-        p_d = G.shape[0]
-        R = jnp.linalg.cholesky(G + 1e-14 * jnp.trace(G)
-                                * jnp.eye(p_d))
-        Q = jax.scipy.linalg.solve_triangular(R, Yd, lower=True)  # (p, n)
-
-        def proj(V):
-            return V - Q.T @ (Q @ V)
-    else:
-        Q = None
-
-        def proj(V):
-            return V
-
     def b_matvec(V):
-        BV = shift * proj(V) - matvec(proj(V))
-        return proj(BV)
+        return shift * V - matvec(V)
 
     if X0 is None:
         X0 = jax.random.normal(key_x, (n, k), dtype=jnp.float64)
     else:
-        X0 = X0 + 1e-8 * jax.random.normal(key_x, (n, k),
+        X0 = X0 + 1e-9 * jax.random.normal(key_x, (n, k),
                                            dtype=jnp.float64)
-    X0 = proj(X0)
+    # jax lobpcg requires 5 * block < n
+    aug_budget = max((n - 1) // 5 - k, 0)
+    if deflate is not None and aug_budget > 0:
+        # Augment the block with Y's (normalized) strong singular
+        # directions so Rayleigh-Ritz resolves the near-null cluster
+        # internally; weak/padded directions are replaced by random
+        # vectors (LOBPCG orthonormalizes the block anyway).
+        Yd = deflate
+        p_d = min(Yd.shape[0], aug_budget)
+        G = Yd @ Yd.T
+        w, V = jnp.linalg.eigh(G)               # ascending
+        w = w[::-1]                             # descending: strong first
+        V = V[:, ::-1]
+        w = w[:p_d]
+        V = V[:, :p_d]
+        good = w > 1e-12 * w[0]
+        scale = 1.0 / jnp.sqrt(jnp.maximum(w, 1e-300))
+        Q = (V * scale[None, :]).T @ Yd         # (p_d, n) rows ~ orthonormal
+        rnd = jax.random.normal(key_q, (p_d, n), dtype=jnp.float64)
+        Q = jnp.where(good[:, None], Q, rnd)
+        X0 = jnp.concatenate([X0, Q.T], axis=1)     # (n, k + p_d)
+
     theta, U, _ = lobpcg_standard(b_matvec, X0, m=maxiter, tol=tol)
     s_vals = shift - theta                      # ascending in S
     order = jnp.argsort(s_vals)
     s_vals = s_vals[order]
     U = U[:, order]
 
-    # residual-based conservative lower bounds: lam_true >= ritz - ||r||
+    # residual-based bounds: an eigenvalue of S lies within
+    # [ritz - ||r||, ritz + ||r||] of each Ritz pair, so an unconverged
+    # solve can only make dinf conservative, never falsely certify.
     SU = matvec(U)
     resid = jnp.linalg.norm(SU - U * s_vals[None, :], axis=0)
     s_lower = s_vals - resid
-
-    lam_min = s_lower[0]
-    if Q is not None:
-        # bound the deflated-out Y-subspace: M = Q S Q' (p x p)
-        SQt = matvec(Q.T)                       # (n, p)
-        M = Q @ SQt
-        M = 0.5 * (M + M.T)
-        mw = jnp.linalg.eigvalsh(M)
-        coupling = jnp.linalg.norm(SQt - Q.T @ M)
-        lam_min = jnp.minimum(lam_min, mw[0] - coupling)
+    s_upper = s_vals + resid
 
     return CertResult(
-        lam_min=lam_min, lam_max=hi,
-        num_neg=jnp.sum(s_lower < 0),
-        neg_vecs=U, neg_vals=s_vals)
+        lam_min=s_lower[0], lam_max=hi,
+        num_neg=jnp.sum(s_upper < 0),           # certainly-negative count
+        neg_vecs=U[:, :k], neg_vals=s_vals[:k])
 
 
 def dual_certificate(method: str, n: int, k: int, *,
