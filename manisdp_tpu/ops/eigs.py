@@ -113,8 +113,10 @@ def lobpcg_certificate(matvec: Callable, n: int, k: int, key,
     else:
         X0 = X0 + 1e-9 * jax.random.normal(key_x, (n, k),
                                            dtype=jnp.float64)
-    # jax lobpcg requires 5 * block < n
-    aug_budget = max((n - 1) // 5 - k, 0)
+    # jax lobpcg requires 5 * block < n; additionally cap the block so
+    # the solver's internal (3*block)^2 f64 eigendecompositions stay in
+    # the small-size regime the TPU compiler handles (~<=100).
+    aug_budget = max(min((n - 1) // 5 - k, 24 - k), 0)
     if deflate is not None and aug_budget > 0:
         # Augment the block with Y's (normalized) strong singular
         # directions so Rayleigh-Ritz resolves the near-null cluster

@@ -172,6 +172,8 @@ def solve_dual_al(variant_name: str, op: DualOp,
                   options: Optional[SolverOptions] = None,
                   iAB: Optional[SparseMat] = None,
                   Y0: Optional[np.ndarray] = None,
+                  Xm0: Optional[np.ndarray] = None,
+                  w0: Optional[np.ndarray] = None,
                   **overrides) -> SDPResult:
     variant = DUAL_VARIANTS[variant_name]
     opt = merged_options(variant.name, options, **overrides)
@@ -221,8 +223,9 @@ def solve_dual_al(variant_name: str, op: DualOp,
         Y = M.rand(sub, p, n, p_pad)
     U_dir = None
 
-    Xm = jnp.zeros((n, n))
-    w = jnp.zeros(op.f)
+    Xm = jnp.zeros((n, n)) if Xm0 is None else jnp.asarray(Xm0)
+    w = jnp.zeros(op.f) if w0 is None else jnp.asarray(
+        np.asarray(w0, dtype=np.float64).ravel())
     sigma = opt.sigma0
     status = 0
     total_tr = total_hess = 0

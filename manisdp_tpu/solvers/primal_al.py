@@ -199,6 +199,7 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
 def solve_primal_al(variant_name: str, op: ConstraintOp,
                     options: Optional[SolverOptions] = None,
                     Y0: Optional[np.ndarray] = None,
+                    y0: Optional[np.ndarray] = None,
                     **overrides) -> SDPResult:
     variant = VARIANTS[variant_name]
     opt = merged_options(variant.name, options, **overrides)
@@ -243,7 +244,8 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
         Y = M.rand(sub, p, n, p_pad)
     U_dir = None
 
-    y = jnp.zeros(m)
+    y = jnp.zeros(m) if y0 is None else jnp.asarray(
+        np.asarray(y0, dtype=np.float64).ravel())
     sigma = opt.sigma0
     status = 0
     total_tr = total_hess = 0

@@ -1,0 +1,40 @@
+"""Checkpoint/resume: a solve interrupted at iteration k and resumed
+from its snapshot reaches the same optimum as an uninterrupted solve."""
+
+import os
+import tempfile
+
+import numpy as np
+import scipy.sparse as sp
+
+from manisdp_tpu import solve_unitdiag
+from manisdp_tpu.frontends.moments import bqpmom
+from manisdp_tpu.utils import load_state, save_state
+
+
+def test_resume_from_snapshot():
+    n = 6
+    rs = np.random.RandomState(0)
+    Q = rs.randn(n, n)
+    Q = 0.5 * (Q + Q.T)
+    e = rs.randn(n)
+    data = bqpmom(n, Q, e)
+
+    full = solve_unitdiag(data.At, data.b, data.c, data.K.s, verbose=False)
+    assert full.status == 0
+
+    # truncated run
+    part = solve_unitdiag(data.At, data.b, data.c, data.K.s, verbose=False,
+                          max_outer=5)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ckpt.npz")
+        save_state(path, Y=part.Y, y=part.y, sigma=1e-3,
+                   iteration=part.iterations)
+        st = load_state(path)
+        resumed = solve_unitdiag(data.At, data.b, data.c, data.K.s,
+                                 verbose=False,
+                                 Y0=st["Y"], y0=st["y"],
+                                 sigma0=float(st["sigma"]))
+    assert resumed.status == 0
+    np.testing.assert_allclose(resumed.obj, full.obj, rtol=1e-7)
+    assert resumed.iterations <= full.iterations
