@@ -19,7 +19,12 @@ import time
 GRAPH = os.environ.get("BENCH_GRAPH", "G1")
 GSET = os.environ.get(
     "BENCH_GSET_DIR", "/root/reference/data/Gset")
-BASELINE_SECONDS = {"G1": 3.0, "G67": 1600.0}
+# G1: ~3 s in the published MATLAB tables (desktop CPU, tol 1e-8).
+# G67: no published number; estimated >=1500 s for MATLAB+Manopt from
+# the per-outer-iteration full eig(S) at n=10^4 (~60-100 s each, ~15+
+# outer iterations) plus RTR time.  Treat vs_baseline for G67 as an
+# estimate until a measured MATLAB run exists.
+BASELINE_SECONDS = {"G1": 3.0, "G67": 1500.0}
 
 
 def main():
