@@ -49,6 +49,29 @@ class SDPResult:
     rtr_iters: int = 0         # total accepted/rejected TR iterations
     hess_calls: int = 0        # total tCG inner iterations (Hv products)
     history: Optional[list] = None
+    timers: Optional[dict] = None  # per-phase seconds: rtr/cert/rank/stats
+
+
+class PhaseTimers:
+    """Cheap wall-clock accounting of the outer loop's phases."""
+
+    def __init__(self):
+        self.t = {}
+
+    def add(self, phase: str, dt: float):
+        self.t[phase] = self.t.get(phase, 0.0) + dt
+
+    def timed(self, phase: str):
+        timers = self
+
+        class _Ctx:
+            def __enter__(self):
+                self._t0 = time.time()
+
+            def __exit__(self, *a):
+                timers.add(phase, time.time() - self._t0)
+
+        return _Ctx()
 
 
 def bucketed(p: int, bucket: int) -> int:

@@ -31,8 +31,9 @@ from ..core import Problem, TROptions, make_trustregions
 from ..manifolds import Oblique
 from ..ops.eigs import lobpcg_certificate
 from ..ops.sparse import SymCOO
-from .common import (JitCache, RankController, SDPResult, SlowProgress,
-                     bucketed, log_iter, make_line_search, pad_rows)
+from .common import (JitCache, PhaseTimers, RankController, SDPResult,
+                     SlowProgress, bucketed, log_iter, make_line_search,
+                     pad_rows)
 
 
 def _make_inner(opt: SolverOptions, dense: bool):
@@ -184,6 +185,7 @@ def solve_maxcut_unitdiag(C, options: Optional[SolverOptions] = None,
     total_tr = total_hess = 0
     fac_size = []
     history = []
+    timers = PhaseTimers()
     t0 = time.time()
     obj = dinf = gradnorm = np.nan
     z_dev = S_last = None
@@ -192,19 +194,22 @@ def solve_maxcut_unitdiag(C, options: Optional[SolverOptions] = None,
     for it in range(1, opt.max_outer + 1):
         fac_size.append(p)
         solve, line_search = inner_cache(p_pad)
-        if U_dir is not None:
-            Y = line_search(Y, jnp.asarray(U_dir), C_param)
-        res = solve(Y, C_param, typdist)
-        Y = res.Y
+        with timers.timed("rtr"):
+            if U_dir is not None:
+                Y = line_search(Y, jnp.asarray(U_dir), C_param)
+            res = solve(Y, C_param, typdist)
+            Y = jax.block_until_ready(res.Y)
         gradnorm = float(res.norm_grad)
         total_tr += int(res.iters)
         total_hess += int(res.inner_iters)
 
         key, sub = jax.random.split(key)
-        z_dev, obj, dinf, num_neg, neg_vecs, neg_vals = cert_fn(
-            Y, C_param, sub)
+        with timers.timed("cert"):
+            z_dev, obj, dinf, num_neg, neg_vecs, neg_vals = cert_fn(
+                Y, C_param, sub)
 
-        r, e, Ul = rank.truncation(Y, p)
+        with timers.timed("rank"):
+            r, e, Ul = rank.truncation(Y, p)
         log_iter(opt.verbose, it, obj, dinf=dinf, r=r, p=p, t0=t0)
         history.append(dict(iter=it, obj=obj, dinf=dinf, r=r, p=p,
                             gradnorm=gradnorm))
@@ -258,4 +263,5 @@ def solve_maxcut_unitdiag(C, options: Optional[SolverOptions] = None,
     return SDPResult(X=X, obj=obj, Y=Y_act, z=z, dinf=dinf, eta=dinf,
                      gradnorm=gradnorm, time=elapsed, status=status,
                      iterations=it, fac_size=fac_size, rtr_iters=total_tr,
-                     hess_calls=total_hess, history=history)
+                     hess_calls=total_hess, history=history,
+                     timers=timers.t)
