@@ -40,6 +40,7 @@ if _cache_dir:
 
 from .config import SolverOptions  # noqa: E402
 from .solvers.maxcut import solve_maxcut_unitdiag  # noqa: E402
+from .solvers.batch import solve_maxcut_batch  # noqa: E402
 from .solvers.unitdiag import solve_unitdiag  # noqa: E402
 from .solvers.unittrace import solve_unittrace  # noqa: E402
 from .solvers.general import solve_sdp  # noqa: E402
@@ -50,6 +51,7 @@ from .frontends.gset import load_gset_laplacian  # noqa: E402
 __all__ = [
     "SolverOptions",
     "solve_maxcut_unitdiag",
+    "solve_maxcut_batch",
     "solve_unitdiag",
     "solve_unittrace",
     "solve_sdp",

@@ -58,6 +58,26 @@ class SolverOptions:
     # for large n); "auto" switches on n.
     eig_method: str = "auto"
     eig_switch_n: int = 2049      # n above which "auto" uses lobpcg
+    # LOBPCG certificate budgets: the warm-started cert (X0 carried
+    # across outer iterations) uses the cheap budget; the full budget is
+    # paid only when the conservative bound fails to certify tol but the
+    # optimistic Ritz value would pass (i.e. exactly when accuracy
+    # decides convergence).  Certification stays sound either way: the
+    # reported dinf uses residual-backed lower bounds.
+    lobpcg_maxiter: int = 400
+    lobpcg_maxiter_warm: int = 80
+    # Endgame TR-budget escalation: the reference's tiny TR budgets
+    # (e.g. TR_maxiter=3) assume the subproblem is nearly solved each
+    # outer iteration.  When the sigma controller freezes (pinf sits
+    # between tau1*gradnorm and tau2*gradnorm) while gap/pinf are at
+    # tolerance but dinf is not, the blocker is an under-resolved
+    # subproblem; escalating the budget lets gradnorm drop so the
+    # controller unfreezes.  Set endgame_boost=False for reference-exact
+    # budgets.
+    endgame_boost: bool = True
+    boost_tr_maxiter: int = 30
+    boost_tr_maxinner: int = 200
+    boost_after: int = 5          # consecutive frozen-sigma endgame iters
     dtype: str = "float64"
     # Cost-matrix mode for the unit-diagonal (MaxCut) driver: dense
     # MXU matmuls (emulated f64) win for small n where scatter latency

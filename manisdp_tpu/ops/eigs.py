@@ -153,7 +153,9 @@ def lobpcg_certificate(matvec: Callable, n: int, k: int, key,
 
     return CertResult(
         lam_min=s_lower[0], lam_max=hi,
-        num_neg=jnp.sum(s_upper < 0),           # certainly-negative count
+        # Ritz-based count (best estimate of the reference's exact
+        # eig count); certification uses lam_min, never this.
+        num_neg=jnp.sum(s_vals < 0),
         neg_vecs=U[:, :k], neg_vals=s_vals[:k])
 
 

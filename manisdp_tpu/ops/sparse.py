@@ -133,6 +133,12 @@ class ConstraintOp:
     a2p: jax.Array       # (nnzA,) int32 index into pattern P
     pat: SymCOO          # pattern P with v = c restricted to P
     b: jax.Array         # (m,) float64 right-hand side
+    # second ordering, sorted by pattern id: lets the adjoint's
+    # segment-sum claim sorted indices (memory-for-speed; the adjoint
+    # runs twice per Hessian-vector product, SURVEY §3.2)
+    kp: jax.Array        # (nnzA,) int32 constraint row, a2p-sorted
+    vp: jax.Array        # (nnzA,) float64 values, a2p-sorted
+    a2p_sorted: jax.Array  # (nnzA,) int32, ascending
     m: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
 
@@ -213,6 +219,7 @@ class ConstraintOp:
 
         pat = SymCOO(i=jnp.asarray(p_i), j=jnp.asarray(p_j),
                      v=jnp.asarray(c_on_p), n=n)
+        perm = np.argsort(a2p, kind="stable")
         return ConstraintOp(
             k=jnp.asarray(kk, dtype=jnp.int32),
             i=jnp.asarray(ii, dtype=jnp.int32),
@@ -220,6 +227,9 @@ class ConstraintOp:
             v=jnp.asarray(vv, dtype=jnp.float64),
             a2p=jnp.asarray(a2p),
             pat=pat, b=jnp.asarray(b, dtype=jnp.float64).ravel(),
+            kp=jnp.asarray(kk[perm], dtype=jnp.int32),
+            vp=jnp.asarray(vv[perm], dtype=jnp.float64),
+            a2p_sorted=jnp.asarray(a2p[perm]),
             m=int(m), n=int(n))
 
     @property
@@ -257,8 +267,8 @@ class ConstraintOp:
     def adjoint_on_pattern(self, w):
         """Values of mat(A'w) restricted to pattern P -> (nnzP,)."""
         return jax.ops.segment_sum(
-            self.v * jnp.take(w, self.k), self.a2p,
-            num_segments=self.pat.nnz, indices_are_sorted=False)
+            self.vp * jnp.take(w, self.kp), self.a2p_sorted,
+            num_segments=self.pat.nnz, indices_are_sorted=True)
 
     def es_vals(self, w, sigma):
         """Values on P of eS = mat(c + sigma * A'w)."""

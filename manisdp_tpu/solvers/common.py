@@ -162,14 +162,28 @@ class SlowProgress:
         return False
 
 
-def make_line_search(cost_fn: Callable, renorm: Callable):
+def make_line_search(cost_fn: Callable, renorm: Callable,
+                     max_extra: int = 45):
     """Backtracking saddle-escape line search (ManiSDP_unitdiag.m:138-150).
 
     alpha starts at 1, shrinks by 0.8 up to 15 times, accepts when the
-    AL cost drops by at least 1e-3.  Runs as one jitted while_loop.
+    AL cost drops by at least 1e-3 — reference-exact in that regime.
+
+    The reference then force-accepts the 15-times-shrunk step even if it
+    INCREASES the cost; near convergence (|lambda_min(S)| tiny) the
+    available decrease is far below 1e-3, so that forced accept injects
+    an O(0.035)-sized perturbation every outer iteration, re-exciting
+    the gradient and freezing the sigma controller (observed limit cycle
+    on the Lovasz-theta workload).  Here we instead keep shrinking for
+    up to ``max_extra`` more steps until the cost strictly decreases —
+    the escape direction is second-order descent whenever lambda_min(S)
+    < 0, so a small enough alpha always exists; the accepted step then
+    never loses ground.  Runs as one jitted while_loop.
+
     ``cost_fn(Y, params) -> f``; ``renorm`` maps an ambient point back to
     the manifold (column-normalize / F-normalize / identity).
     """
+    i_max = 15 + max_extra
 
     def line_search(Y, U, params):
         f0 = cost_fn(Y, params)
@@ -182,7 +196,8 @@ def make_line_search(cost_fn: Callable, renorm: Callable):
 
         def cond(c):
             alpha, i, _, f = c
-            return (i <= 15) & (f - f0 > -1e-3)
+            good = jnp.where(i <= 15, f - f0 <= -1e-3, f < f0)
+            return (i <= i_max) & ~good
 
         def body(c):
             alpha, i, _, _ = c
@@ -190,9 +205,11 @@ def make_line_search(cost_fn: Callable, renorm: Callable):
             nY, f = trial(alpha)
             return (alpha, i + 1, nY, f)
 
-        _, _, nY, _ = jax.lax.while_loop(
+        _, _, nY, f = jax.lax.while_loop(
             cond, body, (jnp.float64(1.0), jnp.int32(1), nY1, f1))
-        return nY
+        # if even the smallest step failed to decrease, stay put
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(f < f0, a, b), nY, Y)
 
     return jax.jit(line_search)
 

@@ -93,13 +93,18 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
             z = C.quad_cols(Y)
         return z, jnp.sum(z)
 
-    @jax.jit
-    def lobpcg_cert(Y, C, z, key, X0):
-        def matvec(V):
-            CV = C.T @ V if dense else C.matvec_block(V)
-            return CV - z[:, None] * V
-        return lobpcg_certificate(matvec, n, k, key, deflate=Y, X0=X0)
+    def _lob(maxiter):
+        @jax.jit
+        def lobpcg_cert(Y, C, z, key, X0):
+            def matvec(V):
+                CV = C.T @ V if dense else C.matvec_block(V)
+                return CV - z[:, None] * V
+            return lobpcg_certificate(matvec, n, k, key, deflate=Y, X0=X0,
+                                      maxiter=maxiter)
+        return lobpcg_cert
 
+    lob_full = _lob(opt.lobpcg_maxiter)
+    lob_warm = _lob(opt.lobpcg_maxiter_warm)
     warm = {"X0": None}
 
     def cert(Y, C, key):
@@ -116,7 +121,15 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
             if X0 is None:
                 X0 = jax.random.normal(
                     jax.random.fold_in(key, 1), (n, k), dtype=jnp.float64)
-            res = lobpcg_cert(Y, C, z, key, X0)
+                res = lob_full(Y, C, z, key, X0)
+            else:
+                res = lob_warm(Y, C, z, key, X0)
+                lam_max = float(res.lam_max)
+                cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
+                optm = max(0.0, -float(res.neg_vals[0])) / (1.0 + lam_max)
+                if cons >= opt.tol and optm < opt.tol:
+                    # accuracy decides convergence -> pay the full budget
+                    res = lob_full(Y, C, z, key, res.neg_vecs)
             warm["X0"] = res.neg_vecs
             lam_min = float(res.lam_min)
             lam_max = float(res.lam_max)

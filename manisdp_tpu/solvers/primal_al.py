@@ -148,7 +148,7 @@ def _make_stats(variant: ALVariant):
 
 
 def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
-                      use_eigh: bool):
+                      use_eigh: bool, opt: SolverOptions = None):
     """Eigen-certificate of S = mat(sv) - shift(z)."""
     if use_eigh:
         pi = np.asarray(op_host.pat.i)
@@ -169,17 +169,22 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
 
         return cert
 
-    @jax.jit
-    def lob(Y, op, sv, z, key, X0):
-        def matvec(V):
-            SV = op.pat.matvec_block(V, sv)
-            if variant.shift == "diag":
-                SV = SV - z[:, None] * V
-            elif variant.shift == "trace":
-                SV = SV - z * V
-            return SV
-        return lobpcg_certificate(matvec, n, k, key, deflate=Y, X0=X0)
+    def _lob(maxiter):
+        @jax.jit
+        def lob(Y, op, sv, z, key, X0):
+            def matvec(V):
+                SV = op.pat.matvec_block(V, sv)
+                if variant.shift == "diag":
+                    SV = SV - z[:, None] * V
+                elif variant.shift == "trace":
+                    SV = SV - z * V
+                return SV
+            return lobpcg_certificate(matvec, n, k, key, deflate=Y, X0=X0,
+                                      maxiter=maxiter)
+        return lob
 
+    lob_full = _lob(opt.lobpcg_maxiter)
+    lob_warm = _lob(opt.lobpcg_maxiter_warm)
     warm = {"X0": None}
 
     def cert(Y, op, sv, z, key):
@@ -187,7 +192,15 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
         if X0 is None:
             X0 = jax.random.normal(jax.random.fold_in(key, 1), (n, k),
                                    dtype=jnp.float64)
-        res = lob(Y, op, sv, z, key, X0)
+            res = lob_full(Y, op, sv, z, key, X0)
+        else:
+            res = lob_warm(Y, op, sv, z, key, X0)
+            lam_max = float(res.lam_max)
+            cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
+            optm = max(0.0, -float(res.neg_vals[0])) / (1.0 + lam_max)
+            if cons >= opt.tol and optm < opt.tol:
+                # accuracy decides convergence -> pay the full budget
+                res = lob_full(Y, op, sv, z, key, res.neg_vecs)
         warm["X0"] = res.neg_vecs
         return (float(res.lam_min), float(res.lam_max), int(res.num_neg),
                 np.asarray(jax.device_get(res.neg_vecs)),
@@ -213,18 +226,24 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
         print(f"SDP size: n = {n}, m = {m}", flush=True)
 
     problem, cost_only = _make_problem(variant)
-    tr_opts = TROptions(maxiter=opt.tr_maxiter, maxinner=opt.tr_maxinner,
-                        tolgradnorm=opt.tolgradnorm)
     M = variant.manifold
+    tr_budgets = {
+        0: TROptions(maxiter=opt.tr_maxiter, maxinner=opt.tr_maxinner,
+                     tolgradnorm=opt.tolgradnorm),
+        1: TROptions(maxiter=max(opt.boost_tr_maxiter, opt.tr_maxiter),
+                     maxinner=max(opt.boost_tr_maxinner, opt.tr_maxinner),
+                     tolgradnorm=opt.tolgradnorm),
+    }
 
-    def factory(p_pad):
-        solve = jax.jit(make_trustregions(problem, tr_opts))
+    def factory(key):
+        _, tier = key
+        solve = jax.jit(make_trustregions(problem, tr_budgets[tier]))
         ls = make_line_search(cost_only, M.renormalize)
         return solve, ls
 
     cache = JitCache(factory)
     stats_fn = _make_stats(variant)
-    cert_fn = _make_certificate(variant, op, n, k_cert, use_eigh)
+    cert_fn = _make_certificate(variant, op, n, k_cert, use_eigh, opt)
     rank = RankController(opt.theta, opt.delta, opt.alpha,
                           nne_floor=variant.nne_floor, bucket=opt.p_bucket)
     slow = SlowProgress(variant.slow_period, variant.slow_warmup)
@@ -254,10 +273,12 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
     obj = gap = pinf = dinf = gradnorm = eta = np.nan
     sv_dev = z_dev = y_dev = None
     it = 0
+    tier = 0
+    frozen = 0          # consecutive endgame iterations with frozen sigma
 
     for it in range(1, opt.max_outer + 1):
         fac_size.append(p)
-        solve, line_search = cache(p_pad)
+        solve, line_search = cache((p_pad, tier))
         params = dict(op=op, y=y, sigma=jnp.float64(sigma))
         if U_dir is not None:
             Y = line_search(Y, jnp.asarray(U_dir), params)
@@ -321,8 +342,21 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
         # ---- sigma schedule ----
         if pinf < opt.tau1 * gradnorm:
             sigma = max(sigma / opt.gama, opt.sigma_min)
+            frozen = 0
         elif pinf > opt.tau2 * gradnorm:
             sigma = min(sigma * opt.gama, opt.sigma_max)
+            frozen = 0
+        else:
+            # endgame boost: sigma frozen with only dinf above tol ->
+            # the subproblem is under-resolved; escalate the TR budget
+            if (opt.endgame_boost and tier == 0 and
+                    gap <= 10 * opt.tol and pinf <= 10 * opt.tol and
+                    dinf > opt.tol):
+                frozen += 1
+                if frozen >= opt.boost_after:
+                    tier = 1
+            else:
+                frozen = 0
     else:
         it = opt.max_outer
 
