@@ -47,9 +47,11 @@ from .solvers.general import solve_sdp  # noqa: E402
 from .solvers.dual_unitdiag import solve_dual_unitdiag  # noqa: E402
 from .solvers.dual_general import solve_dual_sdp  # noqa: E402
 from .frontends.gset import load_gset_laplacian  # noqa: E402
+from . import recipes  # noqa: E402
 
 __all__ = [
     "SolverOptions",
+    "recipes",
     "solve_maxcut_unitdiag",
     "solve_maxcut_batch",
     "solve_unitdiag",

@@ -187,18 +187,57 @@ def solve_dual_al(variant_name: str, op: DualOp,
         print(f"SDP size: n = {n}, m = {m}", flush=True)
 
     problem, cost_only = _make_problem(variant, iAB)
-    tr_opts = TROptions(maxiter=opt.tr_maxiter, maxinner=opt.tr_maxinner,
-                        tolgradnorm=opt.tolgradnorm)
+    # Two TR budgets: the reference-default one (tier 0) and an escalated
+    # endgame budget (tier 1) engaged when the sigma controller freezes
+    # with dinf the only blocking residual — same mechanism as the primal
+    # AL drivers (see primal_al.py and NOTES.md theta-class analysis).
+    tr_budgets = {
+        0: TROptions(maxiter=opt.tr_maxiter, maxinner=opt.tr_maxinner,
+                     tolgradnorm=opt.tolgradnorm),
+        1: TROptions(maxiter=max(opt.boost_tr_maxiter, opt.tr_maxiter),
+                     maxinner=max(opt.boost_tr_maxinner, opt.tr_maxinner),
+                     tolgradnorm=opt.tolgradnorm),
+    }
     M = variant.manifold
 
-    cache = JitCache(lambda p_pad: (
-        jax.jit(make_trustregions(problem, tr_opts)),
+    cache = JitCache(lambda key: (
+        jax.jit(make_trustregions(problem, tr_budgets[key[1]])),
         make_line_search(cost_only, M.renormalize)))
     stats_fn = _make_stats(variant, iAB)
 
-    @jax.jit
-    def lob_cert(Xp, key):
-        return lobpcg_certificate(lambda V: Xp @ V, n, k_cert, key)
+    # Two-tier warm-started LOBPCG certificate (same scheme as the
+    # maxcut driver): the warm budget rides the previous iteration's
+    # Ritz block; the full budget is paid only when accuracy decides
+    # convergence.  Certification stays sound either way — lam_min is a
+    # residual-backed lower bound (ops/eigs.py).
+    def _lob(maxiter):
+        @jax.jit
+        def f(Xp, key, X0):
+            return lobpcg_certificate(lambda V: Xp @ V, n, k_cert, key,
+                                      X0=X0, maxiter=maxiter)
+        return f
+
+    lob_full = _lob(opt.lobpcg_maxiter)
+    lob_warm = _lob(opt.lobpcg_maxiter_warm)
+    cert_warm = {"X0": None}
+
+    def lob_cert(Xp, key, gap, pinf):
+        X0 = cert_warm["X0"]
+        if X0 is None:
+            X0 = jax.random.normal(
+                jax.random.fold_in(key, 1), (n, k_cert), dtype=jnp.float64)
+            res = lob_full(Xp, key, X0)
+        else:
+            res = lob_warm(Xp, key, X0)
+            lam_max = abs(float(res.lam_max))
+            cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
+            optm = max(0.0, -float(res.neg_vals[0])) / (1.0 + lam_max)
+            if (cons >= opt.tol and optm < opt.tol and
+                    gap < opt.tol and pinf < opt.tol):
+                # accuracy decides convergence -> pay the full budget
+                res = lob_full(Xp, key, res.neg_vecs)
+        cert_warm["X0"] = res.neg_vecs
+        return res
 
     rank = RankController(opt.theta, opt.delta, opt.alpha,
                           nne_floor=variant.nne_floor, bucket=opt.p_bucket)
@@ -234,10 +273,12 @@ def solve_dual_al(variant_name: str, op: DualOp,
     obj = gap = pinf = dinf = gradnorm = eta = np.nan
     S_dev = y_dev = Xp_dev = z_dev = None
     it = 0
+    tier = 0
+    frozen = 0          # consecutive endgame iterations with frozen sigma
 
     for it in range(1, opt.max_outer + 1):
         fac_size.append(p)
-        solve, line_search = cache(p_pad)
+        solve, line_search = cache((p_pad, tier))
         params = dict(op=op, Xm=Xm, w=w, sigma=jnp.float64(sigma))
         if U_dir is not None:
             Y = line_search(Y, jnp.asarray(U_dir), params)
@@ -260,7 +301,7 @@ def solve_dual_al(variant_name: str, op: DualOp,
             neg_vecs = vecs[:, :k_cert]
         else:
             key, sub = jax.random.split(key)
-            cres = lob_cert(Xp_dev, sub)
+            cres = lob_cert(Xp_dev, sub, gap, pinf)
             lam_min = float(cres.lam_min)
             lam_max = float(cres.lam_max)
             num_neg = int(cres.num_neg)
@@ -307,8 +348,21 @@ def solve_dual_al(variant_name: str, op: DualOp,
 
         if pinf < opt.tau1 * gradnorm:
             sigma = max(sigma / opt.gama, opt.sigma_min)
+            frozen = 0
         elif pinf > opt.tau2 * gradnorm:
             sigma = min(sigma * opt.gama, opt.sigma_max)
+            frozen = 0
+        else:
+            # endgame boost: sigma frozen with only dinf above tol ->
+            # the subproblem is under-resolved; escalate the TR budget
+            if (opt.endgame_boost and tier == 0 and
+                    gap <= 10 * opt.tol and pinf <= 10 * opt.tol and
+                    dinf > opt.tol):
+                frozen += 1
+                if frozen >= opt.boost_after:
+                    tier = 1
+            else:
+                frozen = 0
     else:
         it = opt.max_outer
 

@@ -145,10 +145,18 @@ def solve_dual_multiblock(A, b, c, ns: Sequence[int], nob: int,
         print(f"SDP size: n = {max(ns)}, m = {m}", flush=True)
 
     problem, cost_only = _make_problem(M, BD, pure, iAB)
-    tr_opts = TROptions(maxiter=opt.tr_maxiter, maxinner=opt.tr_maxinner,
-                        tolgradnorm=opt.tolgradnorm)
-    cache = JitCache(lambda p_pad: (
-        jax.jit(make_trustregions(problem, tr_opts)),
+    # Tiered TR budgets; tier 1 is the endgame escalation engaged when
+    # the sigma controller freezes with dinf the only blocking residual
+    # (see primal_al.py / NOTES.md theta-class analysis).
+    tr_budgets = {
+        0: TROptions(maxiter=opt.tr_maxiter, maxinner=opt.tr_maxinner,
+                     tolgradnorm=opt.tolgradnorm),
+        1: TROptions(maxiter=max(opt.boost_tr_maxiter, opt.tr_maxiter),
+                     maxinner=max(opt.boost_tr_maxinner, opt.tr_maxinner),
+                     tolgradnorm=opt.tolgradnorm),
+    }
+    cache = JitCache(lambda key: (
+        jax.jit(make_trustregions(problem, tr_budgets[key[1]])),
         make_line_search(cost_only, M.renormalize)))
 
     normc = float(1.0 + np.sqrt(
@@ -216,10 +224,12 @@ def solve_dual_multiblock(A, b, c, ns: Sequence[int], nob: int,
     obj = gap = pinf = dinf = gradnorm = eta = np.nan
     S_dev = y_dev = Xp_dev = z_dev = None
     it = 0
+    tier = 0
+    frozen = 0          # consecutive endgame iterations with frozen sigma
 
     for it in range(1, opt.max_outer + 1):
         fac_size.append(max(ps))
-        solve, line_search = cache(p_pad)
+        solve, line_search = cache((p_pad, tier))
         params = dict(op=op, Xm=Xm, w=w, sigma=jnp.float64(sigma))
         if U_dir is not None:
             Y = line_search(Y, jnp.asarray(U_dir), params)
@@ -303,8 +313,21 @@ def solve_dual_multiblock(A, b, c, ns: Sequence[int], nob: int,
 
         if pinf < opt.tau1 * gradnorm:
             sigma = max(sigma / opt.gama, opt.sigma_min)
+            frozen = 0
         elif pinf > opt.tau2 * gradnorm:
             sigma = min(sigma * opt.gama, opt.sigma_max)
+            frozen = 0
+        else:
+            # endgame boost: sigma frozen with only dinf above tol ->
+            # escalate the TR budget (primal_al.py mechanism)
+            if (opt.endgame_boost and tier == 0 and
+                    gap <= 10 * opt.tol and pinf <= 10 * opt.tol and
+                    dinf > opt.tol):
+                frozen += 1
+                if frozen >= opt.boost_after:
+                    tier = 1
+            else:
+                frozen = 0
     else:
         it = opt.max_outer
 
