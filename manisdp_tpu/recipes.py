@@ -60,6 +60,10 @@ RECIPES = {
     # Lovasz theta of random graphs (example_theta.m:50-53)
     "theta": ("unittrace", dict(
         sigma0=1e5, sigma_max=1e8, line_search=True)),
+    # SDPLIB theta-class instances through the general driver (theta1,
+    # theta2, ...): the default tiny TR budget stalls around 1e-5;
+    # a moderately larger budget converges (measured on theta1).
+    "theta_sdplib": ("general", dict(tr_maxiter=8, tr_maxinner=40)),
     # Gset MaxCut (example_maxcut.m:32)
     "maxcut": ("maxcut_unitdiag", dict(p0=40)),
 }
