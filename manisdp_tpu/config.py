@@ -79,6 +79,14 @@ class SolverOptions:
     boost_tr_maxinner: int = 200
     boost_after: int = 5          # consecutive frozen-sigma endgame iters
     dtype: str = "float64"
+    # Mixed-precision inner solve: "mixed" runs each outer iteration's
+    # RTR first in float32 (native MXU/VPU speed; TPU f64 is emulated)
+    # down to ``mixed_tolgradnorm``, then refines in float64 to the full
+    # tolgradnorm.  Certificates, multipliers and line search stay f64,
+    # so the 1e-8 KKT certification is unaffected — worst case the f64
+    # stage redoes the work.  Default "float64" = reference-exact.
+    inner_dtype: str = "float64"
+    mixed_tolgradnorm: float = 1e-5
     # Cost-matrix mode for the unit-diagonal (MaxCut) driver: dense
     # MXU matmuls (emulated f64) win for small n where scatter latency
     # dominates; the O(nnz) gather/segment path wins once n^2 FLOPs

@@ -21,6 +21,12 @@ Semantics preserved exactly (verified against the MATLAB source):
 
 useRand stays false (ManiSDP never enables it) and the preconditioner is
 the identity, as in the reference configuration.
+
+The solver is dtype-generic: all scalar state follows the dtype of the
+initial point, so the same factory serves the f64 path and the f32
+stage of the mixed-precision inner solve (cast Y/params to float32,
+solve to a loose tolgradnorm, then refine in f64 — SURVEY §7's
+accuracy/speed option).
 """
 
 from __future__ import annotations
@@ -33,8 +39,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from .problem import Problem, TROptions, TRResult
-
-_EPS = jnp.finfo(jnp.float64).eps
 
 
 class _TCGState(NamedTuple):
@@ -64,10 +68,11 @@ def _make_tcg(problem: Problem, opts: TROptions):
         kappa_bound = norm_r0 * jnp.minimum(norm_r0 ** opts.theta, opts.kappa)
         linear = opts.kappa < norm_r0 ** opts.theta  # stop-code 3 vs 4
 
+        zero = jnp.zeros((), dtype=r_r0.dtype)
         init = _TCGState(
             eta=M.zerovec(Y), Heta=Heta0, r=r0, mdelta=r0,
-            e_Pe=jnp.float64(0.0), e_Pd=jnp.float64(0.0), d_Pd=r_r0,
-            z_r=r_r0, model_value=jnp.float64(0.0),
+            e_Pe=zero, e_Pd=zero, d_Pd=r_r0,
+            z_r=r_r0, model_value=zero,
             j=jnp.int32(0), stop=jnp.int32(0))
 
         def cond(s: _TCGState):
@@ -152,8 +157,12 @@ def make_trustregions(problem: Problem, opts: TROptions):
     tcg = _make_tcg(problem, opts)
 
     def solve(Y0, params, typicaldist):
-        Delta_bar = typicaldist
+        # keep every scalar in Y0's dtype so an f32 point yields a pure
+        # f32 program (a dtype-equal convert traces to a no-op, so the
+        # f64 path's compiled HLO is unchanged)
+        Delta_bar = jnp.asarray(typicaldist, dtype=Y0.dtype)
         Delta0 = Delta_bar / 8.0
+        eps = jnp.finfo(Y0.dtype).eps
 
         f0, aux0 = problem.cost(Y0, params)
         g0, gaux0 = problem.grad(Y0, params, aux0)
@@ -173,7 +182,7 @@ def make_trustregions(problem: Problem, opts: TROptions):
             Y_prop = M.retr(s.Y, eta)
             f_prop, aux_prop = problem.cost(Y_prop, params)
 
-            rho_reg = jnp.maximum(1.0, jnp.abs(s.fx)) * _EPS * \
+            rho_reg = jnp.maximum(1.0, jnp.abs(s.fx)) * eps * \
                 opts.rho_regularization
             rhonum = s.fx - f_prop + rho_reg
             vecrho = s.g + 0.5 * Heta

@@ -41,7 +41,7 @@ from .maxcut import _make_inner
 
 def _batched_fns(opt: SolverOptions):
     """vmapped RTR solve + line search + z/obj over the instance axis."""
-    solve, line_search = _make_inner(opt, dense=True)
+    solve, _solve32, line_search = _make_inner(opt, dense=True)
     vsolve = jax.jit(jax.vmap(
         lambda Y, C, t: solve(Y, C, t), in_axes=(0, 0, None)))
     vline = jax.jit(jax.vmap(line_search, in_axes=(0, 0, 0)))

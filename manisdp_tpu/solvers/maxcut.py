@@ -68,11 +68,20 @@ def _make_inner(opt: SolverOptions, dense: bool):
                         tolgradnorm=opt.tolgradnorm)
     solve = jax.jit(make_trustregions(problem, tr_opts))
 
+    solve32 = None
+    if opt.inner_dtype == "mixed":
+        # f32 pre-stage: same RTR program traced on float32 inputs (the
+        # core is dtype-generic), stopping at the loose mixed tolerance.
+        tr32 = TROptions(maxiter=opt.tr_maxiter, maxinner=opt.tr_maxinner,
+                         tolgradnorm=max(opt.mixed_tolgradnorm,
+                                         opt.tolgradnorm))
+        solve32 = jax.jit(make_trustregions(problem, tr32))
+
     def cost_only(Y, C):
         return cost(Y, C)[0]
 
     line_search = make_line_search(cost_only, Oblique.renormalize)
-    return solve, line_search
+    return solve, solve32, line_search
 
 
 def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
@@ -175,6 +184,11 @@ def solve_maxcut_unitdiag(C, options: Optional[SolverOptions] = None,
         print(f"SDP size: n = {n}, m = {n}", flush=True)
 
     inner_cache = JitCache(lambda p_pad: _make_inner(opt, dense))
+    mixed = opt.inner_dtype == "mixed"
+    if mixed:
+        C32 = (C_param.astype(jnp.float32) if dense
+               else SymCOO(i=C_param.i, j=C_param.j,
+                           v=C_param.v.astype(jnp.float32), n=C_param.n))
     cert_fn = _make_cert(opt, n, k_cert, use_eigh, C_dense_host, dense)
     rank = RankController(opt.theta, opt.delta, opt.alpha,
                           nne_floor=True, bucket=opt.p_bucket)
@@ -206,15 +220,21 @@ def solve_maxcut_unitdiag(C, options: Optional[SolverOptions] = None,
 
     for it in range(1, opt.max_outer + 1):
         fac_size.append(p)
-        solve, line_search = inner_cache(p_pad)
+        solve, solve32, line_search = inner_cache(p_pad)
         with timers.timed("rtr"):
             if U_dir is not None:
                 Y = line_search(Y, jnp.asarray(U_dir), C_param)
+            if mixed:
+                res32 = solve32(Y.astype(jnp.float32), C32, typdist)
+                Y = Oblique.renormalize(res32.Y.astype(jnp.float64))
             res = solve(Y, C_param, typdist)
             Y = jax.block_until_ready(res.Y)
         gradnorm = float(res.norm_grad)
         total_tr += int(res.iters)
         total_hess += int(res.inner_iters)
+        if mixed:
+            total_tr += int(res32.iters)
+            total_hess += int(res32.inner_iters)
 
         key, sub = jax.random.split(key)
         with timers.timed("cert"):
