@@ -239,9 +239,23 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
         _, tier = key
         solve = jax.jit(make_trustregions(problem, tr_budgets[tier]))
         ls = make_line_search(cost_only, M.renormalize)
-        return solve, ls
+        solve32 = None
+        if opt.inner_dtype == "mixed":
+            t = tr_budgets[tier]
+            tr32 = TROptions(maxiter=t.maxiter, maxinner=t.maxinner,
+                             tolgradnorm=max(opt.mixed_tolgradnorm,
+                                             t.tolgradnorm))
+            solve32 = jax.jit(make_trustregions(problem, tr32))
+        return solve, solve32, ls
 
     cache = JitCache(factory)
+    # f32 copy of the constraint operator for the mixed pre-stage
+    # (index arrays shared; only float leaves are cast)
+    op32 = None
+    if opt.inner_dtype == "mixed":
+        op32 = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, op)
     stats_fn = _make_stats(variant)
     cert_fn = _make_certificate(variant, op, n, k_cert, use_eigh, opt)
     rank = RankController(opt.theta, opt.delta, opt.alpha,
@@ -278,11 +292,18 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
 
     for it in range(1, opt.max_outer + 1):
         fac_size.append(p)
-        solve, line_search = cache((p_pad, tier))
+        solve, solve32, line_search = cache((p_pad, tier))
         params = dict(op=op, y=y, sigma=jnp.float64(sigma))
         if U_dir is not None:
             Y = line_search(Y, jnp.asarray(U_dir), params)
         typdist = float(M.typicaldist(p, n))
+        if solve32 is not None:
+            params32 = dict(op=op32, y=y.astype(jnp.float32),
+                            sigma=jnp.float32(sigma))
+            res32 = solve32(Y.astype(jnp.float32), params32, typdist)
+            Y = M.renormalize(res32.Y.astype(jnp.float64))
+            total_tr += int(res32.iters)
+            total_hess += int(res32.inner_iters)
         res = solve(Y, params, typdist)
         Y = res.Y
         gradnorm = float(res.norm_grad)

@@ -19,6 +19,24 @@ def _random_laplacian_cost(n=60, seed=0):
     return -L / 4.0
 
 
+def test_mixed_al_driver_matches_f64():
+    from manisdp_tpu import solve_unitdiag
+    from manisdp_tpu.frontends.moments import bqpmom
+
+    rs = np.random.RandomState(1)
+    n = 6
+    Q = rs.randn(n, n)
+    Q = 0.5 * (Q + Q.T)
+    e = rs.randn(n)
+    d = bqpmom(n, Q, e)
+    r64 = solve_unitdiag(d.At, d.b, d.c, d.K.s, verbose=False)
+    rmx = solve_unitdiag(d.At, d.b, d.c, d.K.s, verbose=False,
+                         inner_dtype="mixed")
+    assert r64.status == 0 and rmx.status == 0
+    assert rmx.eta < 1e-8
+    assert abs(rmx.obj - r64.obj) / (1 + abs(r64.obj)) < 1e-6
+
+
 def test_mixed_matches_f64():
     C = _random_laplacian_cost()
     r64 = solve_maxcut_unitdiag(C, p0=8, verbose=False)
