@@ -281,3 +281,33 @@ class ConstraintOp:
     def pattern_dense(self, vals):
         out = jnp.zeros((self.n, self.n), dtype=vals.dtype)
         return out.at[self.pat.i, self.pat.j].add(vals)
+
+    # -- operator protocol -------------------------------------------------
+    # The AL/ADMM problem builders (solvers/primal_al.py, dual_al.py) see
+    # the constraint operator ONLY through the methods below plus
+    # apply_from_e / apply_factored / adjoint_on_pattern / es_vals /
+    # s_vals, so a mesh-sharded implementation
+    # (parallel/sharded_ops.ShardedConstraintOp) can drop in: its
+    # pattern-entry arrays are device-sharded and these reductions carry
+    # a psum over the mesh axis.
+    @property
+    def c_pattern(self):
+        """Values of the cost vector c restricted to the pattern P."""
+        return self.pat.v
+
+    def dot_pattern(self, u, v):
+        """<u, v> over pattern entries (sharded impl: local dot + psum)."""
+        return jnp.dot(u, v)
+
+    def colsum_pattern(self, vals):
+        """Column sums of mat(vals) on P -> (n,)."""
+        return jax.ops.segment_sum(vals, self.pat.j, num_segments=self.n,
+                                   indices_are_sorted=True)
+
+    def matmat_pattern(self, Y, vals):
+        """Y @ mat(vals) for vals on P -> (p, n)."""
+        return self.pat.matmat_vals(Y, vals)
+
+    def matvec_pattern(self, V, vals):
+        """mat(vals) @ V for a dense (n, k) block (certificate matvec)."""
+        return self.pat.matvec_block(V, vals)

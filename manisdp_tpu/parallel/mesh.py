@@ -45,22 +45,11 @@ def make_mesh_2d(batch: int, model: int) -> Mesh:
 
 
 def _maxcut_problem():
-    def cost(Y, C):
-        YC = Y @ C
-        eG = jnp.sum(YC * Y, axis=0)
-        return 0.5 * jnp.sum(eG), (YC, eG)
-
-    def grad(Y, C, aux):
-        YC, eG = aux
-        return YC - Y * eG[None, :], ()
-
-    def hess(Y, U, C, aux, gaux):
-        _, eG = aux
-        UC = U @ C
-        return UC - Y * jnp.sum(Y * UC, axis=0, keepdims=True) \
-            - U * eG[None, :]
-
-    return Problem(manifold=Oblique, cost=cost, grad=grad, hess=hess)
+    """The production maxcut subproblem (solvers/maxcut.py) — one
+    definition, shared with the single-chip driver so the sharded solve
+    cannot drift from it."""
+    from ..solvers.maxcut import make_maxcut_problem
+    return make_maxcut_problem(dense=True)
 
 
 def sharded_maxcut_solve(mesh: Mesh, tr_opts: Optional[TROptions] = None):
@@ -95,6 +84,29 @@ def batched_maxcut_solve(mesh: Mesh, tr_opts: Optional[TROptions] = None):
 
     y_sh = NamedSharding(mesh, P("batch", None, None))
     c_sh = NamedSharding(mesh, P("batch", None, None))
+    solve = jax.jit(vsolve, in_shardings=(y_sh, c_sh, None))
+
+    def shard_fn(Ys, Cs):
+        return (jax.device_put(Ys, y_sh), jax.device_put(Cs, c_sh))
+
+    return solve, shard_fn
+
+
+def batched_sharded_maxcut_solve(mesh: Mesh,
+                                 tr_opts: Optional[TROptions] = None):
+    """2-D (batch x model) parallelism: an instance batch sharded over
+    'batch' with each instance's factor/cost column-sharded over
+    'model' — DP and TP composed on one mesh (make_mesh_2d).  GSPMD
+    partitions the vmapped RTR program; collectives reduce over the
+    'model' axis only."""
+    tr_opts = tr_opts or TROptions(maxiter=4, maxinner=10,
+                                   tolgradnorm=1e-8)
+    problem = _maxcut_problem()
+    base = make_trustregions(problem, tr_opts)
+    vsolve = jax.vmap(base, in_axes=(0, 0, None))
+
+    y_sh = NamedSharding(mesh, P("batch", None, "model"))
+    c_sh = NamedSharding(mesh, P("batch", None, "model"))
     solve = jax.jit(vsolve, in_shardings=(y_sh, c_sh, None))
 
     def shard_fn(Ys, Cs):

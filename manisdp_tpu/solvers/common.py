@@ -163,7 +163,7 @@ class SlowProgress:
 
 
 def make_line_search(cost_fn: Callable, renorm: Callable,
-                     max_extra: int = 45):
+                     max_extra: int = 45, wrap: Callable = jax.jit):
     """Backtracking saddle-escape line search (ManiSDP_unitdiag.m:138-150).
 
     alpha starts at 1, shrinks by 0.8 up to 15 times, accepts when the
@@ -211,7 +211,7 @@ def make_line_search(cost_fn: Callable, renorm: Callable,
         return jax.tree_util.tree_map(
             lambda a, b: jnp.where(f < f0, a, b), nY, Y)
 
-    return jax.jit(line_search)
+    return wrap(line_search)
 
 
 class JitCache:

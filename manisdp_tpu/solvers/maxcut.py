@@ -36,13 +36,18 @@ from .common import (JitCache, PhaseTimers, RankController, SDPResult,
                      pad_rows)
 
 
-def _make_inner(opt: SolverOptions, dense: bool):
-    """RTR solve + certificate, jit-cached per p_pad.
+def make_maxcut_problem(dense: bool = True) -> Problem:
+    """cost/grad/hess of the oblique MaxCut subproblem
+    (ManiSDP_onlyunitdiag.m:117-130).
 
     ``dense``: C arrives as a dense (n, n) array and the hot products
     Y@C / U@C run on the MXU — on TPU this beats any gather/scatter
     sparse formulation for every reference-benchmark size (f64
     segment-sum measured ~20x slower than the emulated-f64 matmul).
+    Sparse mode takes a SymCOO and wins at G67 scale (n = 10^4).
+
+    Shared by the single-chip driver and the mesh-sharded paths in
+    parallel/mesh.py, so they cannot drift.
     """
 
     def matc(M, C):
@@ -63,7 +68,13 @@ def _make_inner(opt: SolverOptions, dense: bool):
         return UC - Y * jnp.sum(Y * UC, axis=0, keepdims=True) \
             - U * eG[None, :]
 
-    problem = Problem(manifold=Oblique, cost=cost, grad=grad, hess=hess)
+    return Problem(manifold=Oblique, cost=cost, grad=grad, hess=hess)
+
+
+def _make_inner(opt: SolverOptions, dense: bool):
+    """RTR solve + certificate, jit-cached per p_pad."""
+    problem = make_maxcut_problem(dense)
+    cost = problem.cost
     tr_opts = TROptions(maxiter=opt.tr_maxiter, maxinner=opt.tr_maxinner,
                         tolgradnorm=opt.tolgradnorm)
     solve = jax.jit(make_trustregions(problem, tr_opts))

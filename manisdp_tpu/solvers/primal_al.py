@@ -73,7 +73,7 @@ def _make_problem(variant: ALVariant):
     def cost(Y, params):
         op, y, sigma = params["op"], params["y"], params["sigma"]
         e = op.pattern_pair_dots(Y)
-        cx = jnp.dot(op.pat.v, e)
+        cx = op.dot_pattern(op.c_pattern, e)
         Axb = op.apply_from_e(e) - op.b - y / sigma
         f = cx + 0.5 * sigma * jnp.dot(Axb, Axb)
         return f, (Axb, e)
@@ -82,13 +82,13 @@ def _make_problem(variant: ALVariant):
         op, sigma = params["op"], params["sigma"]
         Axb, e = aux
         es = op.es_vals(Axb, sigma)
-        eG = 2.0 * op.pat.matmat_vals(Y, es)
+        eG = 2.0 * op.matmat_pattern(Y, es)
         if variant.shift == "diag":
             YeG = jnp.sum(Y * eG, axis=0)
             G = eG - Y * YeG[None, :]
             return G, (es, YeG)
         elif variant.shift == "trace":
-            z = jnp.dot(es, e)
+            z = op.dot_pattern(es, e)
             G = eG - 2.0 * z * Y
             return G, (es, z)
         else:
@@ -99,8 +99,8 @@ def _make_problem(variant: ALVariant):
         es, extra = gaux
         w = op.apply_factored(Y, U)                  # A vec(Y'U)
         ayu = op.adjoint_on_pattern(w)               # mat(A'A vec) on P
-        eH = 2.0 * op.pat.matmat_vals(U, es) \
-            + 4.0 * sigma * op.pat.matmat_vals(Y, ayu)
+        eH = 2.0 * op.matmat_pattern(U, es) \
+            + 4.0 * sigma * op.matmat_pattern(Y, ayu)
         if variant.shift == "diag":
             YeG = extra
             return eH - Y * jnp.sum(Y * eH, axis=0, keepdims=True) \
@@ -120,10 +120,9 @@ def _make_problem(variant: ALVariant):
 def _make_stats(variant: ALVariant):
     """Post-RTR residuals / multiplier update / dual values, one jit."""
 
-    @jax.jit
     def stats(Y, op, y, sigma):
         e = op.pattern_pair_dots(Y)
-        obj = jnp.dot(op.pat.v, e)
+        obj = op.dot_pattern(op.c_pattern, e)
         Ax = op.apply_from_e(e)
         Axb = Ax - op.b
         normb = 1.0 + jnp.linalg.norm(op.b)
@@ -132,12 +131,10 @@ def _make_stats(variant: ALVariant):
         sv = op.s_vals(y_new)                        # c - A'y on P
         by = jnp.dot(op.b, y_new)
         if variant.shift == "diag":
-            z = jax.ops.segment_sum(sv * e, op.pat.j,
-                                    num_segments=op.n,
-                                    indices_are_sorted=True)
+            z = op.colsum_pattern(sv * e)
             by = by + jnp.sum(z)
         elif variant.shift == "trace":
-            z = jnp.dot(sv, e)
+            z = op.dot_pattern(sv, e)
             by = by + z
         else:
             z = jnp.zeros(())
@@ -148,14 +145,20 @@ def _make_stats(variant: ALVariant):
 
 
 def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
-                      use_eigh: bool, opt: SolverOptions = None):
-    """Eigen-certificate of S = mat(sv) - shift(z)."""
+                      use_eigh: bool, opt: SolverOptions = None,
+                      wrap=jax.jit, sv_unpad=lambda a: a):
+    """Eigen-certificate of S = mat(sv) - shift(z).
+
+    ``wrap`` compiles the device LOBPCG path (jax.jit, or a shard_map
+    wrapper for the mesh-sharded operator); ``sv_unpad`` strips the
+    sharded layout's tail padding before host-side dense assembly.
+    """
     if use_eigh:
         pi = np.asarray(op_host.pat.i)
         pj = np.asarray(op_host.pat.j)
 
         def cert(Y, op, sv, z, key):
-            sv_h = np.asarray(jax.device_get(sv))
+            sv_h = sv_unpad(np.asarray(jax.device_get(sv)))
             S = np.zeros((n, n))
             np.add.at(S, (pi, pj), sv_h)
             if variant.shift == "diag":
@@ -170,10 +173,10 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
         return cert
 
     def _lob(maxiter):
-        @jax.jit
+        @wrap
         def lob(Y, op, sv, z, key, X0):
             def matvec(V):
-                SV = op.pat.matvec_block(V, sv)
+                SV = op.matvec_pattern(V, sv)
                 if variant.shift == "diag":
                     SV = SV - z[:, None] * V
                 elif variant.shift == "trace":
@@ -213,6 +216,7 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
                     options: Optional[SolverOptions] = None,
                     Y0: Optional[np.ndarray] = None,
                     y0: Optional[np.ndarray] = None,
+                    mesh=None,
                     **overrides) -> SDPResult:
     variant = VARIANTS[variant_name]
     opt = merged_options(variant.name, options, **overrides)
@@ -224,6 +228,33 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
     if opt.verbose:
         print(f"ManiSDP-TPU ({variant.name}) is starting...", flush=True)
         print(f"SDP size: n = {n}, m = {m}", flush=True)
+
+    # ---- mesh sharding (SURVEY §2.7: model-axis tensor parallelism) ----
+    # With a jax.sharding.Mesh, the sparse operator is partitioned by
+    # pattern id over the 'model' axis and every compiled function
+    # (RTR solve, stats, line search, LOBPCG certificate) runs under
+    # shard_map; reductions psum over ICI.  Semantics are identical to
+    # the single-device path (equivalence-tested on the virtual mesh).
+    sharded = mesh is not None
+    if sharded:
+        from jax.sharding import PartitionSpec as _P
+        from ..parallel.sharded_ops import ShardedConstraintOp
+        axis = mesh.axis_names[0]
+        sop_host = ShardedConstraintOp.build(op, mesh.devices.size, axis)
+        op_dev = jax.device_put(sop_host, sop_host.shardings(mesh))
+        op_specs = sop_host.specs()
+        param_specs = dict(op=op_specs, y=_P(), sigma=_P())
+
+        def shard_wrap(fn, in_specs, out_specs=_P()):
+            return jax.jit(jax.shard_map(
+                fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False))
+
+        sv_spec = _P(axis)
+        sv_unpad = lambda a: a[:op.pat.nnz]
+    else:
+        op_dev = op
+        sv_unpad = lambda a: a
 
     problem, cost_only = _make_problem(variant)
     M = variant.manifold
@@ -237,15 +268,24 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
 
     def factory(key):
         _, tier = key
-        solve = jax.jit(make_trustregions(problem, tr_budgets[tier]))
-        ls = make_line_search(cost_only, M.renormalize)
+        base = make_trustregions(problem, tr_budgets[tier])
         solve32 = None
+        if sharded:
+            solve = shard_wrap(base, (_P(), param_specs, _P()))
+            ls = make_line_search(
+                cost_only, M.renormalize,
+                wrap=lambda f: shard_wrap(f, (_P(), _P(), param_specs)))
+        else:
+            solve = jax.jit(base)
+            ls = make_line_search(cost_only, M.renormalize)
         if opt.inner_dtype == "mixed":
             t = tr_budgets[tier]
             tr32 = TROptions(maxiter=t.maxiter, maxinner=t.maxinner,
                              tolgradnorm=max(opt.mixed_tolgradnorm,
                                              t.tolgradnorm))
-            solve32 = jax.jit(make_trustregions(problem, tr32))
+            base32 = make_trustregions(problem, tr32)
+            solve32 = shard_wrap(base32, (_P(), param_specs, _P())) \
+                if sharded else jax.jit(base32)
         return solve, solve32, ls
 
     cache = JitCache(factory)
@@ -255,9 +295,19 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
     if opt.inner_dtype == "mixed":
         op32 = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.float32)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, op)
-    stats_fn = _make_stats(variant)
-    cert_fn = _make_certificate(variant, op, n, k_cert, use_eigh, opt)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, op_dev)
+    stats_raw = _make_stats(variant)
+    if sharded:
+        stats_fn = shard_wrap(
+            stats_raw, (_P(), op_specs, _P(), _P()),
+            out_specs=(_P(), _P(), _P(), sv_spec, _P(), _P(), _P()))
+        cert_wrap = lambda f: shard_wrap(
+            f, (_P(), op_specs, sv_spec, _P(), _P(), _P()))
+        cert_fn = _make_certificate(variant, op, n, k_cert, use_eigh, opt,
+                                    wrap=cert_wrap, sv_unpad=sv_unpad)
+    else:
+        stats_fn = jax.jit(stats_raw)
+        cert_fn = _make_certificate(variant, op, n, k_cert, use_eigh, opt)
     rank = RankController(opt.theta, opt.delta, opt.alpha,
                           nne_floor=variant.nne_floor, bucket=opt.p_bucket)
     slow = SlowProgress(variant.slow_period, variant.slow_warmup)
@@ -293,7 +343,7 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
     for it in range(1, opt.max_outer + 1):
         fac_size.append(p)
         solve, solve32, line_search = cache((p_pad, tier))
-        params = dict(op=op, y=y, sigma=jnp.float64(sigma))
+        params = dict(op=op_dev, y=y, sigma=jnp.float64(sigma))
         if U_dir is not None:
             Y = line_search(Y, jnp.asarray(U_dir), params)
         typdist = float(M.typicaldist(p, n))
@@ -311,13 +361,13 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
         total_hess += int(res.inner_iters)
 
         obj_d, pinf_d, y, sv_dev, z_dev, by_d, gap_d = stats_fn(
-            Y, op, y, jnp.float64(sigma))
+            Y, op_dev, y, jnp.float64(sigma))
         obj, pinf, gap = float(obj_d), float(pinf_d), float(gap_d)
         y_dev = y
 
         key, sub = jax.random.split(key)
         lam_min, lam_max, num_neg, neg_vecs, neg_vals, S_dense = cert_fn(
-            Y, op, sv_dev, z_dev, sub)
+            Y, op_dev, sv_dev, z_dev, sub)
         dinf = max(0.0, -lam_min) / (1.0 + lam_max)
 
         r, e_sv, Ul = rank.truncation(Y, p)
@@ -395,7 +445,7 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
     X = Y_act.T @ Y_act
     S_host = None
     if sv_dev is not None:
-        sv_h = np.asarray(jax.device_get(sv_dev))
+        sv_h = sv_unpad(np.asarray(jax.device_get(sv_dev)))
         S_host = np.zeros((n, n))
         np.add.at(S_host, (np.asarray(op.pat.i), np.asarray(op.pat.j)), sv_h)
         if variant.shift == "diag":

@@ -18,8 +18,10 @@ def solve_unitdiag(At, b, c, n: int,
                    options: Optional[SolverOptions] = None,
                    Y0: Optional[np.ndarray] = None,
                    y0: Optional[np.ndarray] = None,
+                   mesh=None,
                    **overrides) -> SDPResult:
     """SeDuMi-format input: At (n^2, m) sparse, b (m,), c (n^2,)."""
     op = At if isinstance(At, ConstraintOp) else \
         ConstraintOp.build(At, b, c, n)
-    return solve_primal_al("unitdiag", op, options, Y0=Y0, y0=y0, **overrides)
+    return solve_primal_al("unitdiag", op, options, Y0=Y0, y0=y0, mesh=mesh,
+                           **overrides)
