@@ -95,6 +95,11 @@ class SolverOptions:
     # n^2 <= dense_cost_nnz_factor * nnz.
     dense_cost_max_n: int = 2048
     dense_cost_nnz_factor: int = 64
+    # In-run checkpointing: every ``checkpoint_every`` outer iterations
+    # the driver snapshots (Y, multipliers, sigma, iteration) to
+    # ``checkpoint_path`` via utils.checkpoint.save_state.  0 = off.
+    checkpoint_every: int = 0
+    checkpoint_path: Optional[str] = None
 
     def replace(self, **kw) -> "SolverOptions":
         return dataclasses.replace(self, **kw)

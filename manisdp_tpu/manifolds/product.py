@@ -44,9 +44,14 @@ class MaskedProduct:
     inner = staticmethod(frob_inner)
     norm = staticmethod(frob_norm)
 
+    def _mask(self, like):
+        # match the operand dtype so the same manifold instance serves
+        # both the f64 path and the f32 mixed-precision pre-stage
+        return self.mask.astype(like.dtype)[None, :]
+
     def proj(self, x, u):
         return u - x * (jnp.sum(x * u, axis=0, keepdims=True)
-                        * self.mask[None, :])
+                        * self._mask(x))
 
     def tangent(self, x, u):
         return self.proj(x, u)
@@ -57,7 +62,7 @@ class MaskedProduct:
     def retr(self, x, d):
         xtd = x + d
         nrm = jnp.sqrt(jnp.sum(xtd * xtd, axis=0, keepdims=True))
-        denom = jnp.where(self.mask[None, :] > 0, nrm, 1.0)
+        denom = jnp.where(self._mask(xtd) > 0, nrm, 1.0)
         return xtd / denom
 
     def zerovec(self, x):
@@ -65,7 +70,7 @@ class MaskedProduct:
 
     def renormalize(self, y):
         nrm = jnp.sqrt(jnp.sum(y * y, axis=0, keepdims=True))
-        denom = jnp.where(self.mask[None, :] > 0, nrm, 1.0)
+        denom = jnp.where(self._mask(y) > 0, nrm, 1.0)
         return y / denom
 
     @staticmethod

@@ -184,7 +184,7 @@ class DualOp:
 
     def adjoint(self, y):
         """mat(A'y) -> dense (n, n)."""
-        flat = jnp.zeros(self.n * self.n)
+        flat = jnp.zeros(self.n * self.n, dtype=y.dtype)
         flat = flat.at[self.lin_c].add(
             self.v_c * jnp.take(y, self.k_c),
             indices_are_sorted=True, unique_indices=False)

@@ -41,6 +41,12 @@ from .maxcut import _make_inner
 
 def _batched_fns(opt: SolverOptions):
     """vmapped RTR solve + line search + z/obj over the instance axis."""
+    if opt.inner_dtype == "mixed":
+        import warnings
+        warnings.warn(
+            "solve_maxcut_batch does not implement the mixed-precision "
+            "inner solve yet; running the batch in float64 "
+            "(inner_dtype='mixed' ignored)", stacklevel=3)
     solve, _solve32, line_search = _make_inner(opt, dense=True)
     vsolve = jax.jit(jax.vmap(
         lambda Y, C, t: solve(Y, C, t), in_axes=(0, 0, None)))

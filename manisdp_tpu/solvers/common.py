@@ -50,6 +50,10 @@ class SDPResult:
     hess_calls: int = 0        # total tCG inner iterations (Hv products)
     history: Optional[list] = None
     timers: Optional[dict] = None  # per-phase seconds: rtr/cert/rank/stats
+    # final penalty + TR-budget tier: pass back as sigma0= / tier on
+    # resume so a checkpointed run continues the exact trajectory
+    sigma: Optional[float] = None
+    tier: int = 0
 
 
 class PhaseTimers:

@@ -33,8 +33,9 @@ from ..core import Problem, TROptions, make_trustregions
 from ..manifolds import Euclidean, Oblique
 from ..ops.dualops import DualOp, SparseMat
 from ..ops.eigs import lobpcg_certificate
-from .common import (JitCache, RankController, SDPResult, SlowProgress,
-                     bucketed, log_iter, make_line_search, pad_rows)
+from .common import (JitCache, PhaseTimers, RankController, SDPResult,
+                     SlowProgress, bucketed, log_iter, make_line_search,
+                     pad_rows)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -121,7 +122,7 @@ def _make_problem(variant: DualVariant, iAB: Optional[SparseMat]):
 
 def _iab_mat(iAB: SparseMat, n: int, u):
     """mat(iAB @ u) -> dense (n, n); iAB rows are n^2 row-major."""
-    flat = jnp.zeros(n * n)
+    flat = jnp.zeros(n * n, dtype=u.dtype)
     flat = flat.at[iAB.row_c].add(iAB.val_c * jnp.take(u, iAB.col_c))
     return flat.reshape(n, n)
 
@@ -200,9 +201,33 @@ def solve_dual_al(variant_name: str, op: DualOp,
     }
     M = variant.manifold
 
-    cache = JitCache(lambda key: (
-        jax.jit(make_trustregions(problem, tr_budgets[key[1]])),
-        make_line_search(cost_only, M.renormalize)))
+    op32 = iab32 = problem32 = None
+    if opt.inner_dtype == "mixed":
+        cast32 = lambda x: x.astype(jnp.float32) \
+            if jnp.issubdtype(x.dtype, jnp.floating) else x
+        op32 = jax.tree_util.tree_map(cast32, op)
+        if iAB is not None:
+            iab32 = jax.tree_util.tree_map(cast32, iAB)
+        problem32, _ = _make_problem(variant, iab32)
+
+    def factory(key):
+        _, tier = key
+        solve = jax.jit(make_trustregions(problem, tr_budgets[tier]))
+        ls = make_line_search(cost_only, M.renormalize)
+        solve32 = None
+        if opt.inner_dtype == "mixed":
+            # f32 pre-stage of the inner solve (same dtype-generic RTR
+            # core as the primal drivers); certificates, multiplier
+            # updates and the y-step stay f64, so the 1e-8 KKT
+            # certification is unaffected.
+            t = tr_budgets[tier]
+            tr32 = TROptions(maxiter=t.maxiter, maxinner=t.maxinner,
+                             tolgradnorm=max(opt.mixed_tolgradnorm,
+                                             t.tolgradnorm))
+            solve32 = jax.jit(make_trustregions(problem32, tr32))
+        return solve, solve32, ls
+
+    cache = JitCache(factory)
     stats_fn = _make_stats(variant, iAB)
 
     # Two-tier warm-started LOBPCG certificate (same scheme as the
@@ -276,40 +301,58 @@ def solve_dual_al(variant_name: str, op: DualOp,
     tier = 0
     frozen = 0          # consecutive endgame iterations with frozen sigma
 
+    timers = PhaseTimers()
     for it in range(1, opt.max_outer + 1):
         fac_size.append(p)
-        solve, line_search = cache((p_pad, tier))
+        solve, solve32, line_search = cache((p_pad, tier))
         params = dict(op=op, Xm=Xm, w=w, sigma=jnp.float64(sigma))
-        if U_dir is not None:
-            Y = line_search(Y, jnp.asarray(U_dir), params)
-        typdist = float(M.typicaldist(p, n))
-        res = solve(Y, params, typdist)
-        Y = res.Y
+        with timers.timed("rtr"):
+            if U_dir is not None:
+                Y = line_search(Y, jnp.asarray(U_dir), params)
+            typdist = float(M.typicaldist(p, n))
+            # f32 pre-stage: skipped in the endgame tier and whenever the
+            # previous f64 gradnorm already sits at/below the f32 target
+            # (the noise floor would burn the whole budget for nothing)
+            if solve32 is not None and tier == 0 and not \
+                    (np.isfinite(gradnorm) and
+                     gradnorm <= opt.mixed_tolgradnorm):
+                params32 = dict(op=op32, Xm=Xm.astype(jnp.float32),
+                                w=w.astype(jnp.float32),
+                                sigma=jnp.float32(sigma))
+                res32 = solve32(Y.astype(jnp.float32), params32, typdist)
+                Y = M.renormalize(res32.Y.astype(jnp.float64))
+                total_tr += int(res32.iters)
+                total_hess += int(res32.inner_iters)
+            res = solve(Y, params, typdist)
+            Y = jax.block_until_ready(res.Y)
         gradnorm = float(res.norm_grad)
         total_tr += int(res.iters)
         total_hess += int(res.inner_iters)
 
-        (S_dev, y_dev, Xm, w, Xp_dev, z_dev, obj_d, pinf_d, by_d,
-         gap_d) = stats_fn(Y, op, Xm, w, jnp.float64(sigma), normc)
-        obj, pinf, gap = float(obj_d), float(pinf_d), float(gap_d)
+        with timers.timed("stats"):
+            (S_dev, y_dev, Xm, w, Xp_dev, z_dev, obj_d, pinf_d, by_d,
+             gap_d) = stats_fn(Y, op, Xm, w, jnp.float64(sigma), normc)
+            obj, pinf, gap = float(obj_d), float(pinf_d), float(gap_d)
 
-        if use_eigh:
-            Xp_h = np.asarray(jax.device_get(Xp_dev))
-            vals, vecs = np.linalg.eigh(Xp_h)
-            lam_min, lam_max = vals[0], vals[-1]
-            num_neg = int(np.sum(vals < 0))
-            neg_vecs = vecs[:, :k_cert]
-        else:
-            key, sub = jax.random.split(key)
-            cres = lob_cert(Xp_dev, sub, gap, pinf)
-            lam_min = float(cres.lam_min)
-            lam_max = float(cres.lam_max)
-            num_neg = int(cres.num_neg)
-            neg_vecs = np.asarray(jax.device_get(cres.neg_vecs))
+        with timers.timed("cert"):
+            if use_eigh:
+                Xp_h = np.asarray(jax.device_get(Xp_dev))
+                vals, vecs = np.linalg.eigh(Xp_h)
+                lam_min, lam_max = vals[0], vals[-1]
+                num_neg = int(np.sum(vals < 0))
+                neg_vecs = vecs[:, :k_cert]
+            else:
+                key, sub = jax.random.split(key)
+                cres = lob_cert(Xp_dev, sub, gap, pinf)
+                lam_min = float(cres.lam_min)
+                lam_max = float(cres.lam_max)
+                num_neg = int(cres.num_neg)
+                neg_vecs = np.asarray(jax.device_get(cres.neg_vecs))
         # note abs() in the denominator (ManiDSDP_unitdiag.m:88)
         dinf = max(0.0, -lam_min) / (1.0 + abs(lam_max))
 
-        r, e_sv, Ul = rank.truncation(Y, p)
+        with timers.timed("rank"):
+            r, e_sv, Ul = rank.truncation(Y, p)
         log_iter(opt.verbose, it, obj, gap=gap, pinf=pinf, dinf=dinf,
                  gradnorm=gradnorm, r=r, p=p, sigma=sigma, t0=t0)
         history.append(dict(iter=it, obj=obj, gap=gap, pinf=pinf, dinf=dinf,
@@ -345,6 +388,15 @@ def solve_dual_al(variant_name: str, op: DualOp,
         p_pad = max(p_pad, bucketed(p, opt.p_bucket))
         Y = jnp.asarray(pad_rows(Y_host, p_pad))
         U_dir = pad_rows(U_host, p_pad) if U_host is not None else None
+
+        if opt.checkpoint_every and opt.checkpoint_path and \
+                it % opt.checkpoint_every == 0:
+            from ..utils.checkpoint import save_state
+            save_state(opt.checkpoint_path,
+                       Y=np.asarray(jax.device_get(Y))[:p],
+                       w=np.asarray(jax.device_get(w)),
+                       Xm=np.asarray(jax.device_get(Xm)), sigma=sigma,
+                       iteration=it)
 
         if pinf < opt.tau1 * gradnorm:
             sigma = max(sigma / opt.gama, opt.sigma_min)
@@ -385,4 +437,5 @@ def solve_dual_al(variant_name: str, op: DualOp,
         z=np.asarray(jax.device_get(z_dev)) if z_dev is not None else None,
         gap=gap, pinf=pinf, dinf=dinf, eta=eta, gradnorm=gradnorm,
         time=elapsed, status=status, iterations=it, fac_size=fac_size,
-        rtr_iters=total_tr, hess_calls=total_hess, history=history)
+        rtr_iters=total_tr, hess_calls=total_hess, history=history,
+        timers=timers.t, sigma=sigma, tier=tier)

@@ -24,19 +24,18 @@ from ..config import SolverOptions, merged_options
 from ..core import Problem, TROptions, make_trustregions
 from ..manifolds.product import MaskedProduct
 from ..ops.dualops import DualOp, SparseMat
-from .common import (JitCache, SDPResult, SlowProgress, bucketed, log_iter,
-                     make_line_search, pad_rows)
+from .common import (JitCache, PhaseTimers, SDPResult, SlowProgress,
+                     bucketed, log_iter, make_line_search, pad_rows)
 from .dual_general import build_iab
 
 
 def _make_problem(M: MaskedProduct, BD, pure: bool,
                   iAB: Optional[SparseMat]):
-    mask = M.mask
 
     def cost(Y, params):
         op, Xm, w, sigma = (params["op"], params["Xm"], params["w"],
                             params["sigma"])
-        S = (Y.T @ Y) * BD
+        S = (Y.T @ Y) * BD.astype(Y.dtype)
         y = op.y_step(S)
         As = op.adjoint(y) - (S - op.C) - Xm / sigma
         Af = op.B.rmatvec(y) - op.cf - w / sigma
@@ -54,13 +53,13 @@ def _make_problem(M: MaskedProduct, BD, pure: bool,
                 _iab_mat(iAB, op.n, Af)
                 + op.adjoint(op.idAAt * op.apply(As)) - As)
         eG = 2.0 * Y @ tt
-        YeG = jnp.sum(Y * eG, axis=0) * mask
+        YeG = jnp.sum(Y * eG, axis=0) * M.mask.astype(Y.dtype)
         return eG - Y * YeG[None, :], (tt, YeG)
 
     def hess(Y, U, params, aux, gaux):
         op, sigma = params["op"], params["sigma"]
         tt, YeG = gaux
-        T = (U.T @ Y) * BD            # blockwise U_i' Y_i
+        T = (U.T @ Y) * BD.astype(Y.dtype)   # blockwise U_i' Y_i
         yAU = op.adjoint(op.idAAt * op.apply(T))
         if pure:
             tYU = -2.0 * yAU
@@ -70,7 +69,8 @@ def _make_problem(M: MaskedProduct, BD, pure: bool,
                 + 2.0 * op.adjoint(op.idAAt * op.apply(yAU))
         eH = 2.0 * U @ tt + 2.0 * sigma * (Y @ (T + T.T)) \
             + 2.0 * sigma * (Y @ tYU)
-        return eH - Y * (jnp.sum(Y * eH, axis=0) * mask)[None, :] \
+        return eH - Y * (jnp.sum(Y * eH, axis=0)
+                         * M.mask.astype(Y.dtype))[None, :] \
             - U * YeG[None, :]
 
     def cost_only(Y, params):
@@ -80,7 +80,7 @@ def _make_problem(M: MaskedProduct, BD, pure: bool,
 
 
 def _iab_mat(iAB: SparseMat, n: int, u):
-    flat = jnp.zeros(n * n)
+    flat = jnp.zeros(n * n, dtype=u.dtype)
     flat = flat.at[iAB.row_c].add(iAB.val_c * jnp.take(u, iAB.col_c))
     return flat.reshape(n, n)
 
@@ -155,9 +155,29 @@ def solve_dual_multiblock(A, b, c, ns: Sequence[int], nob: int,
                      maxinner=max(opt.boost_tr_maxinner, opt.tr_maxinner),
                      tolgradnorm=opt.tolgradnorm),
     }
-    cache = JitCache(lambda key: (
-        jax.jit(make_trustregions(problem, tr_budgets[key[1]])),
-        make_line_search(cost_only, M.renormalize)))
+    op32 = problem32 = None
+    if opt.inner_dtype == "mixed":
+        cast32 = lambda x: x.astype(jnp.float32) \
+            if jnp.issubdtype(x.dtype, jnp.floating) else x
+        op32 = jax.tree_util.tree_map(cast32, op)
+        iab32 = None if iAB is None else \
+            jax.tree_util.tree_map(cast32, iAB)
+        problem32, _ = _make_problem(M, BD, pure, iab32)
+
+    def factory(key):
+        _, tier = key
+        solve = jax.jit(make_trustregions(problem, tr_budgets[tier]))
+        ls = make_line_search(cost_only, M.renormalize)
+        solve32 = None
+        if opt.inner_dtype == "mixed":
+            t = tr_budgets[tier]
+            tr32 = TROptions(maxiter=t.maxiter, maxinner=t.maxinner,
+                             tolgradnorm=max(opt.mixed_tolgradnorm,
+                                             t.tolgradnorm))
+            solve32 = jax.jit(make_trustregions(problem32, tr32))
+        return solve, solve32, ls
+
+    cache = JitCache(factory)
 
     normc = float(1.0 + np.sqrt(
         float(jnp.sum(op.C * op.C)) + float(jnp.dot(op.cf, op.cf))))
@@ -227,23 +247,37 @@ def solve_dual_multiblock(A, b, c, ns: Sequence[int], nob: int,
     tier = 0
     frozen = 0          # consecutive endgame iterations with frozen sigma
 
+    timers = PhaseTimers()
     for it in range(1, opt.max_outer + 1):
         fac_size.append(max(ps))
-        solve, line_search = cache((p_pad, tier))
+        solve, solve32, line_search = cache((p_pad, tier))
         params = dict(op=op, Xm=Xm, w=w, sigma=jnp.float64(sigma))
-        if U_dir is not None:
-            Y = line_search(Y, jnp.asarray(U_dir), params)
-        typdist = MaskedProduct.typicaldist(ns, ps, nob)
-        res = solve(Y, params, typdist)
-        Y = res.Y
+        with timers.timed("rtr"):
+            if U_dir is not None:
+                Y = line_search(Y, jnp.asarray(U_dir), params)
+            typdist = MaskedProduct.typicaldist(ns, ps, nob)
+            if solve32 is not None and tier == 0 and not \
+                    (np.isfinite(gradnorm) and
+                     gradnorm <= opt.mixed_tolgradnorm):
+                params32 = dict(op=op32, Xm=Xm.astype(jnp.float32),
+                                w=w.astype(jnp.float32),
+                                sigma=jnp.float32(sigma))
+                res32 = solve32(Y.astype(jnp.float32), params32, typdist)
+                Y = M.renormalize(res32.Y.astype(jnp.float64))
+                total_tr += int(res32.iters)
+                total_hess += int(res32.inner_iters)
+            res = solve(Y, params, typdist)
+            Y = jax.block_until_ready(res.Y)
         gradnorm = float(res.norm_grad)
         total_tr += int(res.iters)
         total_hess += int(res.inner_iters)
 
-        (S_dev, y_dev, Xm, w, Xp_dev, z_dev, obj_d, pinf_d,
-         gap_d) = stats(Y, Xm, w, jnp.float64(sigma))
-        obj, pinf, gap = float(obj_d), float(pinf_d), float(gap_d)
-        certs, dinf = block_certs(Xp_dev)
+        with timers.timed("stats"):
+            (S_dev, y_dev, Xm, w, Xp_dev, z_dev, obj_d, pinf_d,
+             gap_d) = stats(Y, Xm, w, jnp.float64(sigma))
+            obj, pinf, gap = float(obj_d), float(pinf_d), float(gap_d)
+        with timers.timed("cert"):
+            certs, dinf = block_certs(Xp_dev)
 
         log_iter(opt.verbose, it, obj, gap=gap, pinf=pinf, dinf=dinf,
                  gradnorm=gradnorm, p=max(ps), sigma=sigma, t0=t0)
@@ -352,4 +386,5 @@ def solve_dual_multiblock(A, b, c, ns: Sequence[int], nob: int,
         z=np.asarray(jax.device_get(z_dev)) if z_dev is not None else None,
         gap=gap, pinf=pinf, dinf=dinf, eta=eta, gradnorm=gradnorm,
         time=elapsed, status=status, iterations=it, fac_size=fac_size,
-        rtr_iters=total_tr, hess_calls=total_hess, history=history)
+        rtr_iters=total_tr, hess_calls=total_hess, history=history,
+        timers=timers.t, sigma=sigma, tier=tier)

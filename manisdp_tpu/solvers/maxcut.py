@@ -235,7 +235,12 @@ def solve_maxcut_unitdiag(C, options: Optional[SolverOptions] = None,
         with timers.timed("rtr"):
             if U_dir is not None:
                 Y = line_search(Y, jnp.asarray(U_dir), C_param)
-            if mixed:
+            # f32 pre-stage: skipped once the previous f64 gradnorm sits
+            # at/below the f32 target (below the f32 noise floor the
+            # pre-stage burns its budget without progress)
+            run32 = mixed and not (np.isfinite(gradnorm) and
+                                   gradnorm <= opt.mixed_tolgradnorm)
+            if run32:
                 res32 = solve32(Y.astype(jnp.float32), C32, typdist)
                 Y = Oblique.renormalize(res32.Y.astype(jnp.float64))
             res = solve(Y, C_param, typdist)
@@ -243,7 +248,7 @@ def solve_maxcut_unitdiag(C, options: Optional[SolverOptions] = None,
         gradnorm = float(res.norm_grad)
         total_tr += int(res.iters)
         total_hess += int(res.inner_iters)
-        if mixed:
+        if run32:
             total_tr += int(res32.iters)
             total_hess += int(res32.inner_iters)
 

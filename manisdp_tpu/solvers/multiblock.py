@@ -26,20 +26,19 @@ from ..config import SolverOptions, merged_options
 from ..core import Problem, TROptions, make_trustregions
 from ..manifolds.product import MaskedProduct
 from ..ops.sparse import ConstraintOp
-from .common import (JitCache, SDPResult, SlowProgress, bucketed, log_iter,
-                     make_line_search, pad_rows)
+from .common import (JitCache, PhaseTimers, SDPResult, SlowProgress,
+                     bucketed, log_iter, make_line_search, pad_rows)
 
 
 def _make_problem(M: MaskedProduct):
     """Masked variant of the unit-diagonal AL callbacks
     (ManiSDP_multiblock.m:207-249): Euclidean-block columns skip the
     oblique projection/shift via the 0/1 column mask."""
-    mask = M.mask
 
     def cost(Y, params):
         op, y, sigma = params["op"], params["y"], params["sigma"]
         e = op.pattern_pair_dots(Y)
-        cx = jnp.dot(op.pat.v, e)
+        cx = jnp.dot(op.c_pattern, e)
         Axb = op.apply_from_e(e) - op.b - y / sigma
         return cx + 0.5 * sigma * jnp.dot(Axb, Axb), (Axb, e)
 
@@ -47,8 +46,8 @@ def _make_problem(M: MaskedProduct):
         op, sigma = params["op"], params["sigma"]
         Axb, _ = aux
         es = op.es_vals(Axb, sigma)
-        eG = 2.0 * op.pat.matmat_vals(Y, es)
-        YeG = jnp.sum(Y * eG, axis=0) * mask
+        eG = 2.0 * op.matmat_pattern(Y, es)
+        YeG = jnp.sum(Y * eG, axis=0) * M.mask.astype(Y.dtype)
         return eG - Y * YeG[None, :], (es, YeG)
 
     def hess(Y, U, params, aux, gaux):
@@ -56,9 +55,10 @@ def _make_problem(M: MaskedProduct):
         es, YeG = gaux
         w = op.apply_factored(Y, U)
         ayu = op.adjoint_on_pattern(w)
-        eH = 2.0 * op.pat.matmat_vals(U, es) \
-            + 4.0 * sigma * op.pat.matmat_vals(Y, ayu)
-        return eH - Y * (jnp.sum(Y * eH, axis=0) * mask)[None, :] \
+        eH = 2.0 * op.matmat_pattern(U, es) \
+            + 4.0 * sigma * op.matmat_pattern(Y, ayu)
+        return eH - Y * (jnp.sum(Y * eH, axis=0)
+                         * M.mask.astype(Y.dtype))[None, :] \
             - U * YeG[None, :]
 
     def cost_only(Y, params):
@@ -99,9 +99,25 @@ def solve_multiblock(At, b, c, ns: Sequence[int], nob: int,
                      maxinner=max(opt.boost_tr_maxinner, opt.tr_maxinner),
                      tolgradnorm=opt.tolgradnorm),
     }
-    cache = JitCache(lambda key: (
-        jax.jit(make_trustregions(problem, tr_budgets[key[1]])),
-        make_line_search(cost_only, M.renormalize)))
+    def factory(key):
+        _, tier = key
+        solve = jax.jit(make_trustregions(problem, tr_budgets[tier]))
+        ls = make_line_search(cost_only, M.renormalize)
+        solve32 = None
+        if opt.inner_dtype == "mixed":
+            t = tr_budgets[tier]
+            tr32 = TROptions(maxiter=t.maxiter, maxinner=t.maxinner,
+                             tolgradnorm=max(opt.mixed_tolgradnorm,
+                                             t.tolgradnorm))
+            solve32 = jax.jit(make_trustregions(problem, tr32))
+        return solve, solve32, ls
+
+    cache = JitCache(factory)
+    op32 = None
+    if opt.inner_dtype == "mixed":
+        op32 = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, op)
 
     @jax.jit
     def stats(Y, y, sigma):
@@ -169,23 +185,36 @@ def solve_multiblock(At, b, c, ns: Sequence[int], nob: int,
     tier = 0
     frozen = 0          # consecutive endgame iterations with frozen sigma
 
+    timers = PhaseTimers()
     for it in range(1, opt.max_outer + 1):
         fac_size.append(max(ps))
-        solve, line_search = cache((p_pad, tier))
+        solve, solve32, line_search = cache((p_pad, tier))
         params = dict(op=op, y=y, sigma=jnp.float64(sigma))
-        if U_dir is not None:
-            Y = line_search(Y, jnp.asarray(U_dir), params)
-        typdist = MaskedProduct.typicaldist(ns, ps, nob)
-        res = solve(Y, params, typdist)
-        Y = res.Y
+        with timers.timed("rtr"):
+            if U_dir is not None:
+                Y = line_search(Y, jnp.asarray(U_dir), params)
+            typdist = MaskedProduct.typicaldist(ns, ps, nob)
+            if solve32 is not None and tier == 0 and not \
+                    (np.isfinite(gradnorm) and
+                     gradnorm <= opt.mixed_tolgradnorm):
+                params32 = dict(op=op32, y=y.astype(jnp.float32),
+                                sigma=jnp.float32(sigma))
+                res32 = solve32(Y.astype(jnp.float32), params32, typdist)
+                Y = M.renormalize(res32.Y.astype(jnp.float64))
+                total_tr += int(res32.iters)
+                total_hess += int(res32.inner_iters)
+            res = solve(Y, params, typdist)
+            Y = jax.block_until_ready(res.Y)
         gradnorm = float(res.norm_grad)
         total_tr += int(res.iters)
         total_hess += int(res.inner_iters)
 
-        obj_d, pinf_d, y, sv_dev, z_dev, gap_d = stats(
-            Y, y, jnp.float64(sigma))
-        obj, pinf, gap = float(obj_d), float(pinf_d), float(gap_d)
-        certs, dinf, S_host = block_certs(sv_dev, z_dev)
+        with timers.timed("stats"):
+            obj_d, pinf_d, y, sv_dev, z_dev, gap_d = stats(
+                Y, y, jnp.float64(sigma))
+            obj, pinf, gap = float(obj_d), float(pinf_d), float(gap_d)
+        with timers.timed("cert"):
+            certs, dinf, S_host = block_certs(sv_dev, z_dev)
 
         log_iter(opt.verbose, it, obj, gap=gap, pinf=pinf, dinf=dinf,
                  gradnorm=gradnorm, p=max(ps), sigma=sigma, t0=t0)
@@ -297,4 +326,5 @@ def solve_multiblock(At, b, c, ns: Sequence[int], nob: int,
         z=np.asarray(jax.device_get(z_dev)) if z_dev is not None else None,
         gap=gap, pinf=pinf, dinf=dinf, eta=eta, gradnorm=gradnorm,
         time=elapsed, status=status, iterations=it, fac_size=fac_size,
-        rtr_iters=total_tr, hess_calls=total_hess, history=history)
+        rtr_iters=total_tr, hess_calls=total_hess, history=history,
+        timers=timers.t, sigma=sigma, tier=tier)

@@ -39,9 +39,9 @@ from ..core import Problem, TROptions, make_trustregions
 from ..manifolds import Euclidean, Oblique, Sphere
 from ..ops.eigs import lobpcg_certificate
 from ..ops.sparse import ConstraintOp
-from .common import (JitCache, RankController, SDPResult, SlowProgress,
-                     bucketed, gram_svd, log_iter, make_line_search,
-                     pad_rows)
+from .common import (JitCache, PhaseTimers, RankController, SDPResult,
+                     SlowProgress, bucketed, gram_svd, log_iter,
+                     make_line_search, pad_rows)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -340,37 +340,48 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
     tier = 0
     frozen = 0          # consecutive endgame iterations with frozen sigma
 
+    timers = PhaseTimers()
     for it in range(1, opt.max_outer + 1):
         fac_size.append(p)
         solve, solve32, line_search = cache((p_pad, tier))
         params = dict(op=op_dev, y=y, sigma=jnp.float64(sigma))
-        if U_dir is not None:
-            Y = line_search(Y, jnp.asarray(U_dir), params)
-        typdist = float(M.typicaldist(p, n))
-        if solve32 is not None:
-            params32 = dict(op=op32, y=y.astype(jnp.float32),
-                            sigma=jnp.float32(sigma))
-            res32 = solve32(Y.astype(jnp.float32), params32, typdist)
-            Y = M.renormalize(res32.Y.astype(jnp.float64))
-            total_tr += int(res32.iters)
-            total_hess += int(res32.inner_iters)
-        res = solve(Y, params, typdist)
-        Y = res.Y
+        with timers.timed("rtr"):
+            if U_dir is not None:
+                Y = line_search(Y, jnp.asarray(U_dir), params)
+            typdist = float(M.typicaldist(p, n))
+            # f32 pre-stage: skipped in the endgame tier and whenever the
+            # previous f64 gradnorm already sits at/below the f32 target
+            # (below the f32 noise floor the pre-stage burns its whole
+            # budget without progress)
+            if solve32 is not None and tier == 0 and not \
+                    (np.isfinite(gradnorm) and
+                     gradnorm <= opt.mixed_tolgradnorm):
+                params32 = dict(op=op32, y=y.astype(jnp.float32),
+                                sigma=jnp.float32(sigma))
+                res32 = solve32(Y.astype(jnp.float32), params32, typdist)
+                Y = M.renormalize(res32.Y.astype(jnp.float64))
+                total_tr += int(res32.iters)
+                total_hess += int(res32.inner_iters)
+            res = solve(Y, params, typdist)
+            Y = jax.block_until_ready(res.Y)
         gradnorm = float(res.norm_grad)
         total_tr += int(res.iters)
         total_hess += int(res.inner_iters)
 
-        obj_d, pinf_d, y, sv_dev, z_dev, by_d, gap_d = stats_fn(
-            Y, op_dev, y, jnp.float64(sigma))
-        obj, pinf, gap = float(obj_d), float(pinf_d), float(gap_d)
+        with timers.timed("stats"):
+            obj_d, pinf_d, y, sv_dev, z_dev, by_d, gap_d = stats_fn(
+                Y, op_dev, y, jnp.float64(sigma))
+            obj, pinf, gap = float(obj_d), float(pinf_d), float(gap_d)
         y_dev = y
 
-        key, sub = jax.random.split(key)
-        lam_min, lam_max, num_neg, neg_vecs, neg_vals, S_dense = cert_fn(
-            Y, op_dev, sv_dev, z_dev, sub)
+        with timers.timed("cert"):
+            key, sub = jax.random.split(key)
+            lam_min, lam_max, num_neg, neg_vecs, neg_vals, S_dense = cert_fn(
+                Y, op_dev, sv_dev, z_dev, sub)
         dinf = max(0.0, -lam_min) / (1.0 + lam_max)
 
-        r, e_sv, Ul = rank.truncation(Y, p)
+        with timers.timed("rank"):
+            r, e_sv, Ul = rank.truncation(Y, p)
         log_iter(opt.verbose, it, obj, gap=gap, pinf=pinf, dinf=dinf,
                  gradnorm=gradnorm, r=r, p=p, sigma=sigma, t0=t0)
         history.append(dict(iter=it, obj=obj, gap=gap, pinf=pinf, dinf=dinf,
@@ -409,6 +420,14 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
         p_pad = max(p_pad, bucketed(p, opt.p_bucket))
         Y = jnp.asarray(pad_rows(Y_host, p_pad))
         U_dir = pad_rows(U_host, p_pad) if U_host is not None else None
+
+        if opt.checkpoint_every and opt.checkpoint_path and \
+                it % opt.checkpoint_every == 0:
+            from ..utils.checkpoint import save_state
+            save_state(opt.checkpoint_path,
+                       Y=np.asarray(jax.device_get(Y))[:p],
+                       y=np.asarray(jax.device_get(y)), sigma=sigma,
+                       iteration=it)
 
         # ---- sigma schedule ----
         if pinf < opt.tau1 * gradnorm:
@@ -460,4 +479,5 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
         z=np.asarray(jax.device_get(z_dev)) if z_dev is not None else None,
         gap=gap, pinf=pinf, dinf=dinf, eta=eta, gradnorm=gradnorm,
         time=elapsed, status=status, iterations=it, fac_size=fac_size,
-        rtr_iters=total_tr, hess_calls=total_hess, history=history)
+        rtr_iters=total_tr, hess_calls=total_hess, history=history,
+        timers=timers.t, sigma=sigma, tier=tier)

@@ -23,12 +23,13 @@ def test_resume_from_snapshot():
     full = solve_unitdiag(data.At, data.b, data.c, data.K.s, verbose=False)
     assert full.status == 0
 
-    # truncated run
+    # truncated run; SDPResult carries the FINAL penalty so the resume
+    # continues the exact trajectory (no hardcoded sigma)
     part = solve_unitdiag(data.At, data.b, data.c, data.K.s, verbose=False,
                           max_outer=5)
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "ckpt.npz")
-        save_state(path, Y=part.Y, y=part.y, sigma=1e-3,
+        save_state(path, Y=part.Y, y=part.y, sigma=part.sigma,
                    iteration=part.iterations)
         st = load_state(path)
         resumed = solve_unitdiag(data.At, data.b, data.c, data.K.s,
@@ -38,3 +39,37 @@ def test_resume_from_snapshot():
     assert resumed.status == 0
     np.testing.assert_allclose(resumed.obj, full.obj, rtol=1e-7)
     assert resumed.iterations <= full.iterations
+    # trajectory continuation: the resumed run's first iteration must
+    # reproduce the full run's iteration 6 (deterministic small-n path)
+    h_full = full.history[part.iterations]
+    h_res = resumed.history[0]
+    np.testing.assert_allclose(h_res["obj"], h_full["obj"],
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(h_res["pinf"], h_full["pinf"],
+                               rtol=1e-8, atol=1e-12)
+
+
+def test_checkpoint_every_hook():
+    """checkpoint_every=k snapshots in-run; the snapshot resumes to the
+    same optimum."""
+    n = 6
+    rs = np.random.RandomState(3)
+    Q = rs.randn(n, n)
+    Q = 0.5 * (Q + Q.T)
+    e = rs.randn(n)
+    data = bqpmom(n, Q, e)
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "auto.npz")
+        full = solve_unitdiag(data.At, data.b, data.c, data.K.s,
+                              verbose=False, checkpoint_every=3,
+                              checkpoint_path=path)
+        assert full.status == 0
+        assert os.path.exists(path)
+        st = load_state(path)
+        assert int(st["iteration"]) % 3 == 0
+        resumed = solve_unitdiag(data.At, data.b, data.c, data.K.s,
+                                 verbose=False, Y0=st["Y"], y0=st["y"],
+                                 sigma0=float(st["sigma"]))
+    assert resumed.status == 0
+    np.testing.assert_allclose(resumed.obj, full.obj, rtol=1e-7)

@@ -8,13 +8,21 @@ Note fromsdpa negates the objective (max -> min), so our optimum is
 the negative of the README value for max-form instances.
 """
 
+import os
+
 import numpy as np
 import pytest
 
 from manisdp_tpu import solve_sdp
 from manisdp_tpu.frontends.sdpa import read_sdpa
 
-SDPLIB = "/root/reference/data/sdplib"
+SDPLIB = os.environ.get("MANISDP_SDPLIB_DIR",
+                        "/root/reference/data/sdplib")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SDPLIB),
+    reason=f"SDPLIB data not found at {SDPLIB} "
+           "(set MANISDP_SDPLIB_DIR)")
 
 
 @pytest.mark.parametrize("name,certified,sign,kw", [
