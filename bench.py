@@ -1,14 +1,20 @@
 #!/usr/bin/env python
-"""Benchmark harness: Gset MaxCut wall-clock to KKT<=1e-8 + RTR iters/s.
+"""Benchmark harness: per-workload JSON lines + one final summary line.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Workloads (BENCH_SET=full, the default):
+  - maxcut_G1   : Gset G1 (n=800) wall-clock to KKT<=1e-8.  Baseline 3.0 s
+                  (Wang-Hu, J. Sci. Comput. 2025 Gset table, desktop CPU).
+  - maxcut_G67  : Gset G67 (n=10000).  No published MATLAB number; the
+                  baseline 1500 s is an ESTIMATE from the per-outer-iteration
+                  full eig(S) at n=10^4 (ManiSDP_onlyunitdiag.m:50).
+  - mc_n2000    : trace-min matrix completion p=2000 (example_matrixcompletion.m);
+                  MEASURED reference 9.05-10.8 s (data/results.txt:2) -> 9.05 s.
+  - bqp60_dual  : SOS dual of BQP q=60, instance 1 (example_bqp_dual.m);
+                  MEASURED reference 134 s (data/dual.txt:16).
 
-Baseline: the reference publishes no Gset timings; the closest published
-numbers are Wang-Hu (J. Sci. Comput. 2025, arXiv:2303.01722) Table
-"Gset" where ManiSDP (MATLAB+Manopt, desktop CPU) solves G1-class
-instances (n=800) in roughly 2-4 seconds at tol 1e-8.  We use 3.0 s as
-the nominal MATLAB baseline for G1 and report vs_baseline =
-baseline_time / our_time (>1 means faster than the reference).
+BENCH_SET=g1 runs only G1 (the round-1 configuration).
+Each workload runs twice (compile warm-up, then timed) and prints one
+JSON line; the LAST line is the summary with the geometric-mean speedup.
 """
 
 import json
@@ -16,49 +22,107 @@ import os
 import sys
 import time
 
-GRAPH = os.environ.get("BENCH_GRAPH", "G1")
-GSET = os.environ.get(
-    "BENCH_GSET_DIR", "/root/reference/data/Gset")
-# G1: ~3 s in the published MATLAB tables (desktop CPU, tol 1e-8).
-# G67: no published number; estimated >=1500 s for MATLAB+Manopt from
-# the per-outer-iteration full eig(S) at n=10^4 (~60-100 s each, ~15+
-# outer iterations) plus RTR time.  Treat vs_baseline for G67 as an
-# estimate until a measured MATLAB run exists.
-BASELINE_SECONDS = {"G1": 3.0, "G67": 1500.0}
+GSET = os.environ.get("BENCH_GSET_DIR", "/root/reference/data/Gset")
+DATA = os.environ.get("BENCH_DATA_DIR", "/root/reference/data")
+BENCH_SET = os.environ.get("BENCH_SET", "full")
+
+
+def _emit(metric, seconds, baseline, res, measured_baseline, extra=None):
+    out = {
+        "metric": metric,
+        "value": round(seconds, 4),
+        "unit": "s",
+        "vs_baseline": round(baseline / seconds, 3),
+        "extra": {
+            "obj": float(res.obj),
+            "eta": float(getattr(res, "eta", res.dinf)),
+            "status": int(res.status),
+            "outer_iters": int(res.iterations),
+            "rtr_iters": int(res.rtr_iters),
+            "hess_calls": int(res.hess_calls),
+            "timers": {k: round(v, 2) for k, v in (res.timers or {}).items()},
+            "baseline_s": baseline,
+            "baseline_measured": measured_baseline,
+            **(extra or {}),
+        },
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def bench_maxcut(graph, baseline, measured):
+    from manisdp_tpu import solve_maxcut_unitdiag
+    from manisdp_tpu.frontends.gset import maxcut_cost
+    C = maxcut_cost(os.path.join(GSET, f"{graph}.txt"))
+    solve_maxcut_unitdiag(C, p0=40, verbose=False)        # warm-up
+    t0 = time.time()
+    res = solve_maxcut_unitdiag(C, p0=40, verbose=False)
+    dt = time.time() - t0
+    return _emit(f"maxcut_{graph}_wallclock_to_kkt1e-8", dt, baseline,
+                 res, measured,
+                 extra={"rtr_iters_per_s": round(res.rtr_iters / dt, 2)})
+
+
+def bench_mc(p=2000, baseline=9.05):
+    from manisdp_tpu import solve_sdp
+    from manisdp_tpu.frontends.workloads import matrix_completion
+    from manisdp_tpu.recipes import recipe
+    data, _ = matrix_completion(p, p, rank=10, m_samples=400 * 2 * p,
+                                seed=3)
+    _, kw = recipe("mc")
+    kw = dict(kw, delta=10, tr_maxinner=6, tr_maxiter=8, theta=1e-2)
+    solve_sdp(data.At, data.b, data.c, data.K.s, verbose=False, **kw)
+    t0 = time.time()
+    res = solve_sdp(data.At, data.b, data.c, data.K.s, verbose=False, **kw)
+    dt = time.time() - t0
+    return _emit(f"mc_n{p}_wallclock_to_kkt1e-8", dt, baseline, res, True)
+
+
+def bench_bqp60_dual(baseline=134.0):
+    import numpy as np
+    from manisdp_tpu.frontends.sos import assemble_bqpsos
+    from manisdp_tpu.solvers.dual_unitdiag import solve_dual_unitdiag
+    q = 60
+    Q = np.loadtxt(os.path.join(DATA, f"bqp_Q_{q}_1.txt"), delimiter=",")
+    e = np.loadtxt(os.path.join(DATA, f"bqp_e_{q}_1.txt"), delimiter=",")
+    A, b, c, mb, f, dAAt = assemble_bqpsos(Q, e, q)
+    maxb = np.max(np.abs(b))
+    kw = dict(f=f, dAAt=dAAt, line_search=True, verbose=False)
+    solve_dual_unitdiag(A, b / maxb, c, mb, **kw)          # warm-up
+    t0 = time.time()
+    res = solve_dual_unitdiag(A, b / maxb, c, mb, **kw)
+    dt = time.time() - t0
+    return _emit("bqp_q60_dual_wallclock_to_kkt1e-8", dt, baseline, res,
+                 True, extra={"n": mb})
 
 
 def main():
-    from manisdp_tpu import solve_maxcut_unitdiag
-    from manisdp_tpu.frontends.gset import maxcut_cost
+    rows = []
+    if BENCH_SET == "g1":
+        rows.append(bench_maxcut("G1", 3.0, False))
+    else:
+        rows.append(bench_maxcut("G1", 3.0, False))
+        rows.append(bench_maxcut("G67", 1500.0, False))
+        rows.append(bench_mc())
+        if BENCH_SET == "full+bqp":
+            rows.append(bench_bqp60_dual())
 
-    path = os.path.join(GSET, f"{GRAPH}.txt")
-    C = maxcut_cost(path)
-
-    # Warm-up solve: trigger all XLA compilation (cached for the timed run).
-    solve_maxcut_unitdiag(C, p0=40, verbose=False)
-
-    t0 = time.time()
-    res = solve_maxcut_unitdiag(C, p0=40, verbose=False)
-    elapsed = time.time() - t0
-
-    baseline = BASELINE_SECONDS.get(GRAPH, float("nan"))
-    out = {
-        "metric": f"maxcut_{GRAPH}_wallclock_to_kkt1e-8",
-        "value": round(elapsed, 4),
-        "unit": "s",
-        "vs_baseline": round(baseline / elapsed, 3) if baseline == baseline
-        else None,
-        "extra": {
-            "obj": res.obj,
-            "dinf": res.dinf,
-            "status": res.status,
-            "outer_iters": res.iterations,
-            "rtr_iters": res.rtr_iters,
-            "hess_calls": res.hess_calls,
-            "rtr_iters_per_s": round(res.rtr_iters / elapsed, 2),
-        },
-    }
-    print(json.dumps(out))
+    speedups = [r["vs_baseline"] for r in rows]
+    geo = 1.0
+    for s in speedups:
+        geo *= s
+    geo = geo ** (1.0 / len(speedups))
+    print(json.dumps({
+        "metric": "suite_geomean_speedup_vs_reference",
+        "value": round(geo, 3),
+        "unit": "x",
+        "vs_baseline": round(geo, 3),
+        "extra": {"workloads": {r["metric"]: {
+            "s": r["value"], "vs_baseline": r["vs_baseline"],
+            "status": r["extra"]["status"],
+            "baseline_measured": r["extra"]["baseline_measured"]}
+            for r in rows}},
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -5,7 +5,8 @@ Each returns SeDuMi-style data ready for the matching driver:
   - matrix_completion:  trace-min completion (example_matrixcompletion.m)
   - lovasz_theta:       random-graph theta problem (example_theta.m)
   - hamming_theta:      theta of Hamming graphs (generate_hamming.m)
-  - nearest_rank_deficient_hankel: STLS (example_stls.m flavor)
+  (STLS lives in frontends/stls.py: the kron-lifted nearest
+   rank-deficient Hankel relaxation of example_stls.m)
 """
 
 from __future__ import annotations
@@ -93,28 +94,3 @@ def hamming_theta(d: int, dists: Sequence[int]) -> SedumiData:
     b[m] = 1.0
     c = -np.ones(n * n)
     return SedumiData(At=At, b=b, c=c, K=Cone(s=n))
-
-
-def nearest_rank_deficient_hankel(k: int, seed: int = 0):
-    """A small STLS-flavored SDP (example_stls.m workload class):
-    nearest rank-deficient symmetric Hankel-structured matrix in the
-    lifted SDP form  min tr(X) over X >= 0 matching Hankel moments.
-    Returns SeDuMi data for the general driver."""
-    rs = np.random.RandomState(seed)
-    n = k
-    h = rs.randn(2 * k - 1)
-    # constraints: sum of anti-diagonal entries of X equals the Hankel
-    # sample (a simple structured-completion SDP)
-    rows, cols, vals, b = [], [], [], []
-    for s in range(2 * k - 1):
-        idx = [(i, s - i) for i in range(max(0, s - k + 1),
-                                         min(k, s + 1))]
-        for (i, j) in idx:
-            rows.append(j * n + i)
-            cols.append(s)
-            vals.append(1.0)
-        b.append(h[s] * len(idx))
-    At = sp.coo_matrix((vals, (rows, cols)),
-                       shape=(n * n, 2 * k - 1)).tocsc()
-    c = np.eye(n).flatten(order="F")
-    return SedumiData(At=At, b=np.asarray(b), c=c, K=Cone(s=n))

@@ -110,3 +110,23 @@ def test_general_warm_start():
     res2 = solve_sdp(At, b, c, n, verbose=False, max_outer=300, Y0=res1.Y)
     assert res2.status == 0
     assert res2.iterations <= res1.iterations
+
+
+def test_slow_progress_detector():
+    """Status-2 detector semantics (ManiSDP_unitdiag.m:82-92): every
+    ``period`` iterations, flag when ALL residuals are strictly worse
+    than at the previous checkpoint (after warmup); improving or flat
+    residuals reset the baseline."""
+    from manisdp_tpu.solvers.common import SlowProgress
+
+    slow = SlowProgress(period=20, warmup=50)
+    # mid-iteration calls never trigger
+    assert not slow.check(7, 1.0, 1.0, 1.0)
+    # first checkpoint records the baseline
+    assert not slow.check(20, 1.0, 1.0, 1.0)
+    # worsening residuals but still in warmup -> no trigger
+    assert not slow.check(40, 2.0, 2.0, 2.0)
+    # one improving residual resets -> no trigger
+    assert not slow.check(60, 3.0, 1.0, 3.0)
+    # all strictly worse after warmup -> status-2 trigger
+    assert slow.check(80, 4.0, 2.0, 4.0)
