@@ -195,3 +195,65 @@ def sedumi_to_copt(data: SedumiData) -> Dict:
     out = sedumi_to_mosek(data)
     out["format"] = "copt"
     return out
+
+
+def recover_mosek_sol_blk(res: Dict, K: Cone):
+    """Recover (X blocks, y, S blocks, [pobj, dobj]) from a MOSEK-style
+    solution dict (src/basicfunction/recover_mosek_sol_blk.m).
+
+    ``res`` follows MOSEK's layout: res["sol"]["itr"] holds "barx" /
+    "bars" (stacked per-block LOWER-triangle column-major vectors), "xx"
+    (linear/free part), "y", "pobjval", "dobjval".
+    """
+    itr = res["sol"]["itr"]
+    ks = [K.s] if np.isscalar(K.s) else list(K.s)
+
+    def unpack(v, cid, n):
+        tril_r, tril_c = np.tril_indices(n)
+        M = np.zeros((n, n))
+        M[tril_r, tril_c] = np.asarray(v)[cid:cid + triangle_number(n)]
+        M = M + M.T
+        M[np.arange(n), np.arange(n)] *= 0.5
+        return M
+
+    X_blocks, S_blocks = [], []
+    if K.f:
+        X_blocks.append(np.asarray(itr["xx"], dtype=np.float64).ravel())
+    cid = 0
+    for n in ks:
+        X_blocks.append(unpack(itr["barx"], cid, n))
+        S_blocks.append(unpack(itr["bars"], cid, n))
+        cid += triangle_number(n)
+    y = np.asarray(itr["y"], dtype=np.float64).ravel()
+    obj = np.array([itr["pobjval"], itr["dobjval"]], dtype=np.float64)
+    return X_blocks, y, S_blocks, obj
+
+
+def mosek_task_objective(task: Dict, X_blocks, x_lin=None) -> float:
+    """<C, X> evaluated from a sedumi_to_mosek task dict — validates
+    that the emitted barc/bara triplets reproduce the SeDuMi objective
+    (the cross-check the reference gets for free by running MOSEK)."""
+    barc = task["barc"]
+    val = 0.0
+    for bj, kk, ll, v in zip(barc["subj"], barc["subk"], barc["subl"],
+                             barc["val"]):
+        Xb = X_blocks[bj]
+        val += v * Xb[kk, ll] * (1.0 if kk == ll else 2.0)
+    if x_lin is not None and len(task["c_lin"]):
+        val += float(np.dot(task["c_lin"], x_lin))
+    return float(val)
+
+
+def mosek_task_constraints(task: Dict, X_blocks, x_lin=None) -> np.ndarray:
+    """A(X) evaluated from the bara triplets (lower-triangle scaled),
+    for validating the emitted task against the SeDuMi constraints."""
+    bara = task["bara"]
+    out = np.zeros(task["numcon"])
+    for ci, bj, kk, ll, v in zip(bara["subi"], bara["subj"],
+                                 bara["subk"], bara["subl"],
+                                 bara["val"]):
+        Xb = X_blocks[bj]
+        out[ci] += v * Xb[kk, ll] * (1.0 if kk == ll else 2.0)
+    if x_lin is not None and task["a"].shape[1]:
+        out += np.asarray(task["a"] @ x_lin).ravel()
+    return out
