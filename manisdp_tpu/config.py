@@ -95,6 +95,14 @@ class SolverOptions:
     # n^2 <= dense_cost_nnz_factor * nnz.
     dense_cost_max_n: int = 2048
     dense_cost_nnz_factor: int = 64
+    # AL constraint-operator carriers: "auto" uses DENSE (n, n) pattern
+    # carriers (MXU matmuls + scalar gather/scatter of A entries) when
+    # n <= dense_al_max_n, else the factored gather/segment path.  The
+    # dense path wins ~10x on gather-heavy mid-size patterns (matrix
+    # completion n=4000: nnzP ~ 2.6M); the factored path is the only
+    # one that scales past n ~ 10^4 and the only one that shards.
+    al_op_mode: str = "auto"          # "auto" | "dense" | "sparse"
+    dense_al_max_n: int = 4096
     # In-run checkpointing: every ``checkpoint_every`` outer iterations
     # the driver snapshots (Y, multipliers, sigma, iteration) to
     # ``checkpoint_path`` via utils.checkpoint.save_state.  0 = off.

@@ -218,6 +218,30 @@ def make_line_search(cost_fn: Callable, renorm: Callable,
     return wrap(line_search)
 
 
+def device_retry(fn, *args, tries: int = 3, wait: float = 20.0,
+                 tag: str = ""):
+    """Run a device computation with retries on transient runtime
+    faults.
+
+    The axon TPU runtime intermittently fails fresh XLA compiles with
+    JaxRuntimeError UNAVAILABLE ("TPU device error ... can also be a
+    compile ... failure"); observed twice on the mc n=2000 workload,
+    both times on a first-compile dispatch, and a plain re-dispatch
+    succeeds.  The wrapped call must block (block_until_ready) so the
+    fault surfaces here and not at a later use site.
+    """
+    for attempt in range(tries):
+        try:
+            return fn(*args)
+        except jax.errors.JaxRuntimeError as e:      # pragma: no cover
+            if attempt == tries - 1 or "UNAVAILABLE" not in str(e):
+                raise
+            print(f"[manisdp] transient device error in {tag or 'solve'}"
+                  f" (attempt {attempt + 1}/{tries}); retrying in "
+                  f"{wait:.0f}s", flush=True)
+            time.sleep(wait)
+
+
 class JitCache:
     """Per-(p_pad, tag) cache of compiled solver functions."""
 

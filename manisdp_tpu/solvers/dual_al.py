@@ -34,8 +34,8 @@ from ..manifolds import Euclidean, Oblique
 from ..ops.dualops import DualOp, SparseMat
 from ..ops.eigs import lobpcg_certificate
 from .common import (JitCache, PhaseTimers, RankController, SDPResult,
-                     SlowProgress, bucketed, log_iter, make_line_search,
-                     pad_rows)
+                     SlowProgress, bucketed, device_retry, log_iter,
+                     make_line_search, pad_rows)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -319,12 +319,17 @@ def solve_dual_al(variant_name: str, op: DualOp,
                 params32 = dict(op=op32, Xm=Xm.astype(jnp.float32),
                                 w=w.astype(jnp.float32),
                                 sigma=jnp.float32(sigma))
-                res32 = solve32(Y.astype(jnp.float32), params32, typdist)
+                res32 = device_retry(
+                    lambda: jax.block_until_ready(
+                        solve32(Y.astype(jnp.float32), params32, typdist)),
+                    tag="rtr-f32")
                 Y = M.renormalize(res32.Y.astype(jnp.float64))
                 total_tr += int(res32.iters)
                 total_hess += int(res32.inner_iters)
-            res = solve(Y, params, typdist)
-            Y = jax.block_until_ready(res.Y)
+            res = device_retry(
+                lambda: jax.block_until_ready(solve(Y, params, typdist)),
+                tag="rtr")
+            Y = res.Y
         gradnorm = float(res.norm_grad)
         total_tr += int(res.iters)
         total_hess += int(res.inner_iters)

@@ -32,8 +32,8 @@ from ..manifolds import Oblique
 from ..ops.eigs import lobpcg_certificate
 from ..ops.sparse import SymCOO
 from .common import (JitCache, PhaseTimers, RankController, SDPResult,
-                     SlowProgress, bucketed, log_iter, make_line_search,
-                     pad_rows)
+                     SlowProgress, bucketed, device_retry, log_iter,
+                     make_line_search, pad_rows)
 
 
 def make_maxcut_problem(dense: bool = True) -> Problem:
@@ -241,10 +241,15 @@ def solve_maxcut_unitdiag(C, options: Optional[SolverOptions] = None,
             run32 = mixed and not (np.isfinite(gradnorm) and
                                    gradnorm <= opt.mixed_tolgradnorm)
             if run32:
-                res32 = solve32(Y.astype(jnp.float32), C32, typdist)
+                res32 = device_retry(
+                    lambda: jax.block_until_ready(
+                        solve32(Y.astype(jnp.float32), C32, typdist)),
+                    tag="rtr-f32")
                 Y = Oblique.renormalize(res32.Y.astype(jnp.float64))
-            res = solve(Y, C_param, typdist)
-            Y = jax.block_until_ready(res.Y)
+            res = device_retry(
+                lambda: jax.block_until_ready(solve(Y, C_param, typdist)),
+                tag="rtr")
+            Y = res.Y
         gradnorm = float(res.norm_grad)
         total_tr += int(res.iters)
         total_hess += int(res.inner_iters)

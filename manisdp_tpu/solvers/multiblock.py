@@ -27,7 +27,8 @@ from ..core import Problem, TROptions, make_trustregions
 from ..manifolds.product import MaskedProduct
 from ..ops.sparse import ConstraintOp
 from .common import (JitCache, PhaseTimers, SDPResult, SlowProgress,
-                     bucketed, log_iter, make_line_search, pad_rows)
+                     bucketed, device_retry, log_iter, make_line_search,
+                     pad_rows)
 
 
 def _make_problem(M: MaskedProduct):
@@ -199,12 +200,17 @@ def solve_multiblock(At, b, c, ns: Sequence[int], nob: int,
                      gradnorm <= opt.mixed_tolgradnorm):
                 params32 = dict(op=op32, y=y.astype(jnp.float32),
                                 sigma=jnp.float32(sigma))
-                res32 = solve32(Y.astype(jnp.float32), params32, typdist)
+                res32 = device_retry(
+                    lambda: jax.block_until_ready(
+                        solve32(Y.astype(jnp.float32), params32, typdist)),
+                    tag="rtr-f32")
                 Y = M.renormalize(res32.Y.astype(jnp.float64))
                 total_tr += int(res32.iters)
                 total_hess += int(res32.inner_iters)
-            res = solve(Y, params, typdist)
-            Y = jax.block_until_ready(res.Y)
+            res = device_retry(
+                lambda: jax.block_until_ready(solve(Y, params, typdist)),
+                tag="rtr")
+            Y = res.Y
         gradnorm = float(res.norm_grad)
         total_tr += int(res.iters)
         total_hess += int(res.inner_iters)

@@ -40,8 +40,8 @@ from ..manifolds import Euclidean, Oblique, Sphere
 from ..ops.eigs import lobpcg_certificate
 from ..ops.sparse import ConstraintOp
 from .common import (JitCache, PhaseTimers, RankController, SDPResult,
-                     SlowProgress, bucketed, gram_svd, log_iter,
-                     make_line_search, pad_rows)
+                     SlowProgress, bucketed, device_retry, gram_svd,
+                     log_iter, make_line_search, pad_rows)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,8 +159,11 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
 
         def cert(Y, op, sv, z, key):
             sv_h = sv_unpad(np.asarray(jax.device_get(sv)))
-            S = np.zeros((n, n))
-            np.add.at(S, (pi, pj), sv_h)
+            if sv_h.ndim == 2:           # dense-carrier operator
+                S = sv_h.copy()
+            else:
+                S = np.zeros((n, n))
+                np.add.at(S, (pi, pj), sv_h)
             if variant.shift == "diag":
                 S[np.arange(n), np.arange(n)] -= np.asarray(
                     jax.device_get(z))
@@ -253,7 +256,10 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
         sv_spec = _P(axis)
         sv_unpad = lambda a: a[:op.pat.nnz]
     else:
-        op_dev = op
+        # dense MXU carriers for moderate n (see config.al_op_mode)
+        use_dense_op = opt.al_op_mode == "dense" or (
+            opt.al_op_mode == "auto" and n <= opt.dense_al_max_n)
+        op_dev = op.to_dense_op() if use_dense_op else op
         sv_unpad = lambda a: a
 
     problem, cost_only = _make_problem(variant)
@@ -358,12 +364,17 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
                      gradnorm <= opt.mixed_tolgradnorm):
                 params32 = dict(op=op32, y=y.astype(jnp.float32),
                                 sigma=jnp.float32(sigma))
-                res32 = solve32(Y.astype(jnp.float32), params32, typdist)
+                res32 = device_retry(
+                    lambda: jax.block_until_ready(
+                        solve32(Y.astype(jnp.float32), params32, typdist)),
+                    tag="rtr-f32")
                 Y = M.renormalize(res32.Y.astype(jnp.float64))
                 total_tr += int(res32.iters)
                 total_hess += int(res32.inner_iters)
-            res = solve(Y, params, typdist)
-            Y = jax.block_until_ready(res.Y)
+            res = device_retry(
+                lambda: jax.block_until_ready(solve(Y, params, typdist)),
+                tag="rtr")
+            Y = res.Y
         gradnorm = float(res.norm_grad)
         total_tr += int(res.iters)
         total_hess += int(res.inner_iters)
@@ -465,8 +476,12 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
     S_host = None
     if sv_dev is not None:
         sv_h = sv_unpad(np.asarray(jax.device_get(sv_dev)))
-        S_host = np.zeros((n, n))
-        np.add.at(S_host, (np.asarray(op.pat.i), np.asarray(op.pat.j)), sv_h)
+        if sv_h.ndim == 2:               # dense-carrier operator
+            S_host = sv_h.copy()
+        else:
+            S_host = np.zeros((n, n))
+            np.add.at(S_host, (np.asarray(op.pat.i), np.asarray(op.pat.j)),
+                      sv_h)
         if variant.shift == "diag":
             S_host[np.arange(n), np.arange(n)] -= np.asarray(
                 jax.device_get(z_dev))

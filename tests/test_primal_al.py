@@ -130,3 +130,28 @@ def test_slow_progress_detector():
     assert not slow.check(60, 3.0, 1.0, 3.0)
     # all strictly worse after warmup -> status-2 trigger
     assert slow.check(80, 4.0, 2.0, 4.0)
+
+
+def test_dense_op_matches_sparse_op():
+    """The dense MXU constraint-operator path (DenseConstraintOp) must
+    reproduce the factored path's trajectory on all three variants."""
+    n = 8
+    rs = np.random.RandomState(9)
+    Q = rs.randn(n, n)
+    Q = 0.5 * (Q + Q.T)
+    e = rs.randn(n)
+    from manisdp_tpu.frontends.moments import bqpmom
+    d = bqpmom(n, Q, e)
+
+    r_dense = solve_unitdiag(d.At, d.b, d.c, d.K.s, verbose=False,
+                             al_op_mode="dense")
+    r_sparse = solve_unitdiag(d.At, d.b, d.c, d.K.s, verbose=False,
+                              al_op_mode="sparse")
+    assert r_dense.status == 0 and r_sparse.status == 0
+    np.testing.assert_allclose(r_dense.obj, r_sparse.obj, rtol=1e-9)
+    assert r_dense.iterations == r_sparse.iterations
+    # the first iteration starts from identical state; later iterations
+    # may diverge in fp reduction order before reconverging
+    np.testing.assert_allclose(r_dense.history[0]["pinf"],
+                               r_sparse.history[0]["pinf"],
+                               rtol=1e-8, atol=1e-12)

@@ -148,6 +148,30 @@ def test_sharded_al_driver_matches_single():
 
 
 @needs8
+def test_sharded_lobpcg_certificate_path():
+    """Force the matrix-free LOBPCG certificate (the large-n path) under
+    shard_map: results must match the single-device LOBPCG solve."""
+    from manisdp_tpu import solve_unitdiag
+
+    n = 96          # lobpcg needs 5 * block < n
+    rows = np.arange(n) * n + np.arange(n)
+    At = sp.coo_matrix((np.ones(n), (rows, np.arange(n))),
+                       shape=(n * n, n)).tocsc()
+    rs = np.random.RandomState(3)
+    Cb = rs.randn(n, n)
+    C = 0.5 * (Cb + Cb.T)
+    np.fill_diagonal(C, 0.0)
+    c = C.reshape(-1, order="F")
+
+    kw = dict(verbose=False, max_outer=25, eig_method="lobpcg", seed=2)
+    res1 = solve_unitdiag(At, np.ones(n), c, n, **kw)
+    mesh = make_mesh(8, "model")
+    res8 = solve_unitdiag(At, np.ones(n), c, n, mesh=mesh, **kw)
+    np.testing.assert_allclose(res8.obj, res1.obj, rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(res8.dinf, res1.dinf, rtol=1e-5, atol=1e-10)
+
+
+@needs8
 def test_sharded_general_sdpa_converges():
     """The Euclidean (general) variant also runs sharded end-to-end."""
     from manisdp_tpu import solve_sdp
