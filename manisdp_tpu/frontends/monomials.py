@@ -25,6 +25,8 @@ def monomial_basis(n: int, d: int, max_power: int | None = None,
     (e.g. 1 for squarefree); ``drop_all_even`` removes perfect squares
     (used by bqpmom's label set, bqpmom.m:17-23).
     """
+    if max_power == 1:
+        return _squarefree_basis(n, d, drop_all_even)
     cols = []
     for deg in range(d + 1):
         degree_cols = []
@@ -44,6 +46,39 @@ def monomial_basis(n: int, d: int, max_power: int | None = None,
     if not cols:
         return np.zeros((n, 0), dtype=np.int64)
     return np.stack(cols, axis=1)
+
+
+def _squarefree_basis(n: int, d: int, drop_all_even: bool) -> np.ndarray:
+    """Vectorized squarefree (0/1 exponent) basis in the graded order.
+
+    Within a degree, the reference order sorts by tuple(e[::-1])
+    lexicographically, which for 0/1 exponents equals ascending order
+    of the support bitmask sum(e_v * 2^v).  Enumerating subsets per
+    degree with itertools.combinations and sorting by that key is
+    ~20x faster than the generic path (the q=60 SOS basis has 524k
+    columns).
+    """
+    from itertools import combinations
+
+    blocks = []
+    for deg in range(d + 1):
+        if deg == 0:
+            if not drop_all_even:       # constant monomial is all-even
+                blocks.append(np.zeros((1, n), dtype=np.int64))
+            continue
+        combos = np.fromiter(
+            (v for c in combinations(range(n), deg) for v in c),
+            dtype=np.int64).reshape(-1, deg)
+        if combos.size == 0:
+            continue
+        E = np.zeros((combos.shape[0], n), dtype=np.int64)
+        E[np.arange(combos.shape[0])[:, None], combos] = 1
+        # drop_all_even never removes squarefree deg>=1 monomials
+        key = E @ (1 << np.arange(n, dtype=np.int64))
+        blocks.append(E[np.argsort(key, kind="stable")])
+    if not blocks:
+        return np.zeros((n, 0), dtype=np.int64)
+    return np.concatenate(blocks, axis=0).T
 
 
 def basis_index(basis: np.ndarray) -> Dict[Tuple[int, ...], int]:

@@ -27,30 +27,36 @@ def _ent(r, c, mb):
 
 def bqpsos(Q: np.ndarray, e: np.ndarray, n: int):
     """Returns (A, b, dAAt, mb): A (lsp, mb^2), labels are squarefree
-    monomials of degree <= 4 with products reduced mod x_i^2 = 1."""
+    monomials of degree <= 4 with products reduced mod x_i^2 = 1.
+
+    Vectorized via support bitmasks: squarefree monomials are subsets
+    of {1..n}, and the mod-2 product is the XOR of the masks, so the
+    O(mb^2) pair labels come from one outer XOR + searchsorted instead
+    of per-pair dict lookups (63 s -> ~1 s host time at q = 60).
+    """
+    assert n <= 62, "bitmask encoding supports n <= 62"
     Q = np.asarray(Q, dtype=np.float64)
     e = np.asarray(e, dtype=np.float64).ravel()
     sp4 = monomial_basis(n, 4, max_power=1)
     lsp = sp4.shape[1]
-    spidx = basis_index(sp4)
     mb = 1 + n + n * (n - 1) // 2      # squarefree deg<=2 prefix of sp4
 
-    rows, cols, vals = [], [], []
-    dAAt = np.zeros(lsp)
-    # diagonal entries all carry the constant label (bqpsos.m:18-20)
-    for i in range(mb):
-        rows.append(0)
-        cols.append(_ent(i, i, mb))
-        vals.append(1.0)
-    dAAt[0] = mb
-    for i in range(mb):
-        for j in range(i + 1, mb):
-            bi = (sp4[:, i] + sp4[:, j]) % 2
-            locb = spidx[tuple(bi)]
-            rows += [locb, locb]
-            cols += [_ent(j, i, mb), _ent(i, j, mb)]
-            vals += [1.0, 1.0]
-            dAAt[locb] += 2.0
+    pow2 = (1 << np.arange(n, dtype=np.uint64))
+    masks4 = (sp4.astype(np.uint64).T * pow2).sum(axis=1)   # (lsp,)
+    order4 = np.argsort(masks4, kind="stable")
+    sorted4 = masks4[order4]
+
+    iu, ju = np.triu_indices(mb, k=1)
+    xormask = np.bitwise_xor(masks4[iu], masks4[ju])
+    locb = order4[np.searchsorted(sorted4, xormask)]
+
+    diag_cols = np.arange(mb) * (mb + 1)
+    rows = np.concatenate([np.zeros(mb, dtype=np.int64), locb, locb])
+    cols = np.concatenate([diag_cols,
+                           _ent(ju, iu, mb), _ent(iu, ju, mb)])
+    vals = np.ones(rows.shape[0])
+    dAAt = np.bincount(locb, minlength=lsp).astype(np.float64) * 2.0
+    dAAt[0] += mb
     A = sp.coo_matrix((vals, (rows, cols)), shape=(lsp, mb * mb)).tocsr()
 
     b = np.zeros(lsp)
