@@ -79,12 +79,18 @@ class SolverOptions:
     boost_tr_maxinner: int = 200
     boost_after: int = 5          # consecutive frozen-sigma endgame iters
     dtype: str = "float64"
-    # Mixed-precision inner solve: "mixed" runs each outer iteration's
-    # RTR first in float32 (native MXU/VPU speed; TPU f64 is emulated)
-    # down to ``mixed_tolgradnorm``, then refines in float64 to the full
-    # tolgradnorm.  Certificates, multipliers and line search stay f64,
-    # so the 1e-8 KKT certification is unaffected — worst case the f64
-    # stage redoes the work.  Default "float64" = reference-exact.
+    # Inner-solve precision:
+    #   "float64": reference-exact (default).
+    #   "tcg32":   the truncated-CG hot loop (every Hessian-vector
+    #              product) runs in float32 while cost/grad/rho/gradnorm
+    #              stay f64 — an inexact-Newton model solve.  TPU f64
+    #              gathers are ~7x slower than f32 (prof_tcg.py), so
+    #              this speeds the gather-bound Hv several-fold with NO
+    #              effect on certification (dinf/gap/pinf never touch
+    #              tCG internals).
+    #   "mixed":   a full f32 RTR pre-stage down to mixed_tolgradnorm,
+    #              then f64 refinement (measured slower than "tcg32" at
+    #              G67 — the refinement redoes the TR schedule).
     inner_dtype: str = "float64"
     mixed_tolgradnorm: float = 1e-5
     # Cost-matrix mode for the unit-diagonal (MaxCut) driver: dense

@@ -40,6 +40,18 @@ class TROptions:
     theta: float = 1.0
     rho_prime: float = 0.1
     rho_regularization: float = 1e3
+    # Run the truncated-CG INNER loop (the Hessian-product hot loop) in
+    # this dtype while the outer RTR quantities (cost, gradient, rho
+    # test, gradnorm stopping) stay in the ambient dtype.  "float32"
+    # makes the tCG an inexact-Newton model solve: TPU f64 gathers are
+    # ~7x slower than f32 (measured, benchmarks/prof_tcg.py), and trust
+    # regions tolerate inexact Hessians — certification is untouched
+    # because dinf/gap/pinf never see tCG internals.  None = ambient.
+    tcg_dtype: str | None = None
+    # f32 tCG cannot push the RELATIVE residual below ~1e-7, so the
+    # kappa/theta target is floored there to avoid burning maxinner
+    # iterations on unreachable targets.
+    tcg_resid_floor: float = 3e-7
 
 
 class TRResult(NamedTuple):

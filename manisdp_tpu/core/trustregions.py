@@ -58,14 +58,35 @@ class _TCGState(NamedTuple):
 def _make_tcg(problem: Problem, opts: TROptions):
     M = problem.manifold
     inner = M.inner
+    tcg_dt = jnp.dtype(opts.tcg_dtype) if opts.tcg_dtype else None
+
+    def _cast(tree, dt):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dt)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, tree)
 
     def tcg(Y, grad, Delta, params, aux, gaux):
+        out_dt = Y.dtype
+        if tcg_dt is not None and tcg_dt != out_dt:
+            # inexact-Newton model solve: the whole CG loop (and every
+            # Hessian-vector product) runs in tcg_dtype; the caller's
+            # cost/grad/rho stay in the ambient dtype
+            Y, grad, params, aux, gaux = (
+                _cast(Y, tcg_dt), _cast(grad, tcg_dt), _cast(params, tcg_dt),
+                _cast(aux, tcg_dt), _cast(gaux, tcg_dt))
+            Delta = Delta.astype(tcg_dt)
         Heta0 = M.zerovec(Y)
         r0 = grad
         r_r0 = inner(Y, r0, r0)
         norm_r0 = jnp.sqrt(r_r0)
         # no preconditioner: z = r
         kappa_bound = norm_r0 * jnp.minimum(norm_r0 ** opts.theta, opts.kappa)
+        if tcg_dt is not None:
+            # the reduced precision cannot reach relative residuals
+            # below its floor; clamp the target instead of stalling
+            kappa_bound = jnp.maximum(
+                kappa_bound, norm_r0 * opts.tcg_resid_floor)
         linear = opts.kappa < norm_r0 ** opts.theta  # stop-code 3 vs 4
 
         zero = jnp.zeros((), dtype=r_r0.dtype)
@@ -130,7 +151,11 @@ def _make_tcg(problem: Problem, opts: TROptions):
 
         final = lax.while_loop(cond, body, init)
         stop = jnp.where(final.stop == 0, jnp.int32(5), final.stop)
-        return final.eta, final.Heta, final.j, stop
+        eta, Heta = final.eta, final.Heta
+        if tcg_dt is not None and tcg_dt != out_dt:
+            eta = eta.astype(out_dt)
+            Heta = Heta.astype(out_dt)
+        return eta, Heta, final.j, stop
 
     return tcg
 

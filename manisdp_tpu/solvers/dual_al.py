@@ -192,12 +192,13 @@ def solve_dual_al(variant_name: str, op: DualOp,
     # endgame budget (tier 1) engaged when the sigma controller freezes
     # with dinf the only blocking residual — same mechanism as the primal
     # AL drivers (see primal_al.py and NOTES.md theta-class analysis).
+    tcg_dt = "float32" if opt.inner_dtype == "tcg32" else None
     tr_budgets = {
         0: TROptions(maxiter=opt.tr_maxiter, maxinner=opt.tr_maxinner,
-                     tolgradnorm=opt.tolgradnorm),
+                     tolgradnorm=opt.tolgradnorm, tcg_dtype=tcg_dt),
         1: TROptions(maxiter=max(opt.boost_tr_maxiter, opt.tr_maxiter),
                      maxinner=max(opt.boost_tr_maxinner, opt.tr_maxinner),
-                     tolgradnorm=opt.tolgradnorm),
+                     tolgradnorm=opt.tolgradnorm, tcg_dtype=tcg_dt),
     }
     M = variant.manifold
 

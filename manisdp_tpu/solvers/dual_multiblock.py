@@ -149,12 +149,13 @@ def solve_dual_multiblock(A, b, c, ns: Sequence[int], nob: int,
     # Tiered TR budgets; tier 1 is the endgame escalation engaged when
     # the sigma controller freezes with dinf the only blocking residual
     # (see primal_al.py / NOTES.md theta-class analysis).
+    tcg_dt = "float32" if opt.inner_dtype == "tcg32" else None
     tr_budgets = {
         0: TROptions(maxiter=opt.tr_maxiter, maxinner=opt.tr_maxinner,
-                     tolgradnorm=opt.tolgradnorm),
+                     tolgradnorm=opt.tolgradnorm, tcg_dtype=tcg_dt),
         1: TROptions(maxiter=max(opt.boost_tr_maxiter, opt.tr_maxiter),
                      maxinner=max(opt.boost_tr_maxinner, opt.tr_maxinner),
-                     tolgradnorm=opt.tolgradnorm),
+                     tolgradnorm=opt.tolgradnorm, tcg_dtype=tcg_dt),
     }
     op32 = problem32 = None
     if opt.inner_dtype == "mixed":

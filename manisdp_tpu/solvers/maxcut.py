@@ -75,8 +75,9 @@ def _make_inner(opt: SolverOptions, dense: bool):
     """RTR solve + certificate, jit-cached per p_pad."""
     problem = make_maxcut_problem(dense)
     cost = problem.cost
+    tcg_dt = "float32" if opt.inner_dtype == "tcg32" else None
     tr_opts = TROptions(maxiter=opt.tr_maxiter, maxinner=opt.tr_maxinner,
-                        tolgradnorm=opt.tolgradnorm)
+                        tolgradnorm=opt.tolgradnorm, tcg_dtype=tcg_dt)
     solve = jax.jit(make_trustregions(problem, tr_opts))
 
     solve32 = None

@@ -264,12 +264,13 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
 
     problem, cost_only = _make_problem(variant)
     M = variant.manifold
+    tcg_dt = "float32" if opt.inner_dtype == "tcg32" else None
     tr_budgets = {
         0: TROptions(maxiter=opt.tr_maxiter, maxinner=opt.tr_maxinner,
-                     tolgradnorm=opt.tolgradnorm),
+                     tolgradnorm=opt.tolgradnorm, tcg_dtype=tcg_dt),
         1: TROptions(maxiter=max(opt.boost_tr_maxiter, opt.tr_maxiter),
                      maxinner=max(opt.boost_tr_maxinner, opt.tr_maxinner),
-                     tolgradnorm=opt.tolgradnorm),
+                     tolgradnorm=opt.tolgradnorm, tcg_dtype=tcg_dt),
     }
 
     def factory(key):

@@ -139,3 +139,47 @@ def test_batch_mixed_warns():
         solve_maxcut_batch(Cs, verbose=False, inner_dtype="mixed",
                            max_outer=2, p0=4)
     assert any("mixed" in str(x.message) for x in wrec)
+
+
+def test_tcg32_maxcut_matches_f64():
+    """inner_dtype='tcg32' (f32 truncated-CG, f64 outer) must certify
+    the same 1e-8 result — the tCG is just an inexact model solve."""
+    C = _random_laplacian_cost()
+    r64 = solve_maxcut_unitdiag(C, p0=8, verbose=False)
+    r32 = solve_maxcut_unitdiag(C, p0=8, verbose=False,
+                                inner_dtype="tcg32")
+    assert r32.status == 0
+    assert r32.dinf < 1e-8
+    assert abs(r32.obj - r64.obj) / (1 + abs(r64.obj)) < 1e-7
+
+
+def test_tcg32_al_driver_matches_f64():
+    from manisdp_tpu import solve_unitdiag
+    from manisdp_tpu.frontends.moments import bqpmom
+
+    rs = np.random.RandomState(1)
+    n = 6
+    Q = rs.randn(n, n)
+    Q = 0.5 * (Q + Q.T)
+    e = rs.randn(n)
+    d = bqpmom(n, Q, e)
+    r64 = solve_unitdiag(d.At, d.b, d.c, d.K.s, verbose=False)
+    r32 = solve_unitdiag(d.At, d.b, d.c, d.K.s, verbose=False,
+                         inner_dtype="tcg32")
+    assert r32.status == 0
+    assert r32.eta < 1e-8
+    assert abs(r32.obj - r64.obj) / (1 + abs(r64.obj)) < 1e-6
+
+
+def test_tcg32_dual_driver_matches_f64():
+    from manisdp_tpu.solvers.dual_unitdiag import solve_dual_unitdiag
+
+    A, b, c, mb, f, dAAt = _bqp_sos(6, 3)
+    maxb = np.max(np.abs(b))
+    kw = dict(f=f, dAAt=dAAt, line_search=True, verbose=False)
+    r64 = solve_dual_unitdiag(A, b / maxb, c, mb, **kw)
+    r32 = solve_dual_unitdiag(A, b / maxb, c, mb, inner_dtype="tcg32",
+                              **kw)
+    assert r32.status == 0
+    assert r32.eta < 1e-8
+    np.testing.assert_allclose(r32.obj, r64.obj, rtol=1e-6)
