@@ -58,3 +58,42 @@ def test_batch_sharded_instances():
     assert np.all(np.isfinite(fx))
     # instances differ, so objectives should too
     assert len(np.unique(np.round(fx, 6))) > 1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_host_mesh_layout():
+    """make_host_mesh places the process axis outermost and degenerates
+    to (1, n) on a single process; the sharded AL solve runs on its
+    'model' axis unchanged."""
+    from manisdp_tpu.parallel.distributed import (init_distributed,
+                                                  make_batch_host_mesh,
+                                                  make_host_mesh)
+
+    assert init_distributed() is False          # single process: no-op
+    mesh = make_host_mesh()
+    assert mesh.axis_names == ("dcn", "model")
+    assert mesh.devices.shape == (1, len(jax.devices()))
+    bmesh = make_batch_host_mesh()
+    assert bmesh.axis_names == ("batch", "model")
+
+    # simulated 2-host grid from the virtual devices: shape only
+    from manisdp_tpu.parallel.distributed import _device_grid
+    grid = _device_grid(jax.devices(), 2)
+    assert grid.shape == (2, 4)
+
+    # the sharded unitdiag driver accepts the model submesh
+    import scipy.sparse as sp
+    from jax.sharding import Mesh
+    from manisdp_tpu import solve_unitdiag
+    n = 12
+    rows = np.arange(n) * n + np.arange(n)
+    At = sp.coo_matrix((np.ones(n), (rows, np.arange(n))),
+                       shape=(n * n, n)).tocsc()
+    rs = np.random.RandomState(0)
+    Cb = rs.randn(n, n)
+    C = 0.5 * (Cb + Cb.T)
+    np.fill_diagonal(C, 0.0)
+    model_mesh = Mesh(mesh.devices[0], ("model",))
+    res = solve_unitdiag(At, np.ones(n), C.reshape(-1, order="F"), n,
+                         mesh=model_mesh, verbose=False, max_outer=4)
+    assert np.isfinite(res.obj)
