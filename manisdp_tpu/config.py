@@ -66,6 +66,13 @@ class SolverOptions:
     # reported dinf uses residual-backed lower bounds.
     lobpcg_maxiter: int = 400
     lobpcg_maxiter_warm: int = 80
+    # Certificate precision: "float32" runs the bulk of the LOBPCG
+    # iterations in f32 (several-fold faster on TPU) with
+    # ``lobpcg_refine`` f64 polish iterations; the reported dinf bound
+    # is ALWAYS the f64 residual-backed one, so a weak f32 stage can
+    # only be conservative.  "float64" = single-precision-free.
+    cert_pre_dtype: str = "float32"
+    lobpcg_refine: int = 16
     # Endgame TR-budget escalation: the reference's tiny TR budgets
     # (e.g. TR_maxiter=3) assume the subproblem is nearly solved each
     # outer iteration.  When the sigma controller freezes (pinf sits

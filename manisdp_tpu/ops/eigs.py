@@ -79,8 +79,17 @@ def lanczos_bounds(matvec: Callable, n: int, key, iters: int = 48):
 
 def lobpcg_certificate(matvec: Callable, n: int, k: int, key,
                        maxiter: int = 400, tol: float = 1e-10,
-                       deflate=None, X0=None) -> CertResult:
+                       deflate=None, X0=None, matvec32: Callable = None,
+                       refine_iters: int = 16) -> CertResult:
     """Bottom-k eigenpairs of S via LOBPCG on B = shift*I - S.
+
+    ``matvec32``: optional float32 version of the operator.  When
+    given, the bulk of the LOBPCG iterations run in f32 (TPU f64
+    gathers/orthogonalizations are several-fold slower) and only
+    ``refine_iters`` f64 iterations polish the block.  SOUNDNESS IS
+    UNAFFECTED: the reported lam_min is always the f64 residual-backed
+    lower bound computed at the end — a weak f32 stage can only make
+    the certificate more conservative, never falsely optimistic.
 
     Correctness-critical details (the escape certificate at 1e-8 is the
     hardest part of the whole solver, SURVEY §7):
@@ -137,7 +146,19 @@ def lobpcg_certificate(matvec: Callable, n: int, k: int, key,
         Q = jnp.where(good[:, None], Q, rnd)
         X0 = jnp.concatenate([X0, Q.T], axis=1)     # (n, k + p_d)
 
-    theta, U, _ = lobpcg_standard(b_matvec, X0, m=maxiter, tol=tol)
+    m64 = maxiter
+    if matvec32 is not None:
+        shift32 = shift.astype(jnp.float32)
+
+        def b_matvec32(V):
+            return shift32 * V - matvec32(V)
+
+        _, U32, _ = lobpcg_standard(b_matvec32, X0.astype(jnp.float32),
+                                    m=maxiter, tol=1e-6)
+        X0 = U32.astype(jnp.float64)
+        m64 = refine_iters
+
+    theta, U, _ = lobpcg_standard(b_matvec, X0, m=m64, tol=tol)
     s_vals = shift - theta                      # ascending in S
     order = jnp.argsort(s_vals)
     s_vals = s_vals[order]

@@ -236,11 +236,19 @@ def solve_dual_al(variant_name: str, op: DualOp,
     # Ritz block; the full budget is paid only when accuracy decides
     # convergence.  Certification stays sound either way — lam_min is a
     # residual-backed lower bound (ops/eigs.py).
+    use32 = opt.cert_pre_dtype == "float32"
+
     def _lob(maxiter):
         @jax.jit
         def f(Xp, key, X0):
+            matvec32 = None
+            if use32:
+                Xp32 = Xp.astype(jnp.float32)
+                matvec32 = lambda V: Xp32 @ V
             return lobpcg_certificate(lambda V: Xp @ V, n, k_cert, key,
-                                      X0=X0, maxiter=maxiter)
+                                      X0=X0, maxiter=maxiter,
+                                      matvec32=matvec32,
+                                      refine_iters=opt.lobpcg_refine)
         return f
 
     lob_full = _lob(opt.lobpcg_maxiter)

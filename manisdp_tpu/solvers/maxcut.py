@@ -114,14 +114,28 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
             z = C.quad_cols(Y)
         return z, jnp.sum(z)
 
+    use32 = opt.cert_pre_dtype == "float32"
+
     def _lob(maxiter):
         @jax.jit
         def lobpcg_cert(Y, C, z, key, X0):
             def matvec(V):
                 CV = C.T @ V if dense else C.matvec_block(V)
                 return CV - z[:, None] * V
+            matvec32 = None
+            if use32:
+                cast32 = lambda t: jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+                C32 = cast32(C)
+                z32 = z.astype(jnp.float32)
+
+                def matvec32(V):
+                    CV = C32.T @ V if dense else C32.matvec_block(V)
+                    return CV - z32[:, None] * V
             return lobpcg_certificate(matvec, n, k, key, deflate=Y, X0=X0,
-                                      maxiter=maxiter)
+                                      maxiter=maxiter, matvec32=matvec32,
+                                      refine_iters=opt.lobpcg_refine)
         return lobpcg_cert
 
     lob_full = _lob(opt.lobpcg_maxiter)

@@ -175,6 +175,8 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
 
         return cert
 
+    use32 = opt.cert_pre_dtype == "float32"
+
     def _lob(maxiter):
         @wrap
         def lob(Y, op, sv, z, key, X0):
@@ -185,8 +187,25 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
                 elif variant.shift == "trace":
                     SV = SV - z * V
                 return SV
+            matvec32 = None
+            if use32:
+                cast32 = lambda t: jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+                op32 = cast32(op)
+                sv32 = sv.astype(jnp.float32)
+                z32 = cast32(z)
+
+                def matvec32(V):
+                    SV = op32.matvec_pattern(V, sv32)
+                    if variant.shift == "diag":
+                        SV = SV - z32[:, None] * V
+                    elif variant.shift == "trace":
+                        SV = SV - z32 * V
+                    return SV
             return lobpcg_certificate(matvec, n, k, key, deflate=Y, X0=X0,
-                                      maxiter=maxiter)
+                                      maxiter=maxiter, matvec32=matvec32,
+                                      refine_iters=opt.lobpcg_refine)
         return lob
 
     lob_full = _lob(opt.lobpcg_maxiter)
