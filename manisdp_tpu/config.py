@@ -98,6 +98,12 @@ class SolverOptions:
     #   "mixed":   a full f32 RTR pre-stage down to mixed_tolgradnorm,
     #              then f64 refinement (measured slower than "tcg32" at
     #              G67 — the refinement redoes the TR schedule).
+    # Default: "float64" for the AL/ADMM drivers (the delicate sigma
+    # controllers — e.g. unittrace's tau1=1e-5 — can run away when the
+    # f32 direction quality collapses on very ill-conditioned
+    # subproblems, observed on Hamming theta at sigma ~ 1e5); the
+    # maxcut driver (no penalty controller) defaults to "tcg32", which
+    # certifies identically and is ~5x faster on the G67 rtr phase.
     inner_dtype: str = "float64"
     mixed_tolgradnorm: float = 1e-5
     # Cost-matrix mode for the unit-diagonal (MaxCut) driver: dense
@@ -146,6 +152,7 @@ VARIANT_DEFAULTS = {
     "maxcut_unitdiag": dict(
         p0=2, max_outer=20, theta=1e-1, delta=8, alpha=0.5,
         tr_maxinner=100, tr_maxiter=40, line_search=False,
+        inner_dtype="tcg32",
     ),
     # src/primal/ManiSDP_unitdiag.m:10-26
     "unitdiag": dict(

@@ -123,15 +123,17 @@ def _make_problem(variant: DualVariant, iAB: Optional[SparseMat]):
 def _iab_mat(iAB: SparseMat, n: int, u):
     """mat(iAB @ u) -> dense (n, n); iAB rows are n^2 row-major."""
     flat = jnp.zeros(n * n, dtype=u.dtype)
-    flat = flat.at[iAB.row_c].add(iAB.val_c * jnp.take(u, iAB.col_c))
+    # iAB may be a closure in a lower-precision tCG trace: match dtypes
+    flat = flat.at[iAB.row_c].add(
+        iAB.val_c.astype(u.dtype) * jnp.take(u, iAB.col_c))
     return flat.reshape(n, n)
 
 
 def _iab_rmat(iAB: SparseMat, M):
     """iAB' @ vec(M) -> (f,) for dense (n, n) M."""
     vals = jnp.take(M.reshape(-1), iAB.row_c)
-    return jax.ops.segment_sum(iAB.val_c * vals, iAB.col_c,
-                               num_segments=iAB.ncols,
+    return jax.ops.segment_sum(iAB.val_c.astype(vals.dtype) * vals,
+                               iAB.col_c, num_segments=iAB.ncols,
                                indices_are_sorted=True)
 
 
