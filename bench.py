@@ -70,7 +70,8 @@ def bench_mc(p=2000, baseline=9.05):
     data, _ = matrix_completion(p, p, rank=10, m_samples=400 * 2 * p,
                                 seed=3)
     _, kw = recipe("mc")
-    kw = dict(kw, delta=10, tr_maxinner=6, tr_maxiter=8, theta=1e-2)
+    kw = dict(kw, delta=10, tr_maxinner=6, tr_maxiter=8, theta=1e-2,
+              inner_dtype="tcg32")
     solve_sdp(data.At, data.b, data.c, data.K.s, verbose=False, **kw)
     t0 = time.time()
     res = solve_sdp(data.At, data.b, data.c, data.K.s, verbose=False, **kw)
@@ -87,7 +88,8 @@ def bench_bqp60_dual(baseline=134.0):
     e = np.loadtxt(os.path.join(DATA, f"bqp_e_{q}_1.txt"), delimiter=",")
     A, b, c, mb, f, dAAt = assemble_bqpsos(Q, e, q)
     maxb = np.max(np.abs(b))
-    kw = dict(f=f, dAAt=dAAt, line_search=True, verbose=False)
+    kw = dict(f=f, dAAt=dAAt, line_search=True, verbose=False,
+              inner_dtype="tcg32", p_bucket=16)
     solve_dual_unitdiag(A, b / maxb, c, mb, **kw)          # warm-up
     t0 = time.time()
     res = solve_dual_unitdiag(A, b / maxb, c, mb, **kw)

@@ -32,9 +32,23 @@ from jax.experimental.sparse.linalg import lobpcg_standard
 
 
 class CertResult(NamedTuple):
-    lam_min: jax.Array       # smallest eigenvalue of S
-    lam_max: jax.Array       # largest eigenvalue of S
-    num_neg: jax.Array       # number of negative eigenvalues (clipped for lobpcg)
+    """Partial eigendecomposition summary for the dual certificate.
+
+    ``num_neg`` semantics vs the reference: the reference counts ALL
+    negative eigenvalues from a full eig and the drivers use
+    nne = min(num_neg, delta) escape directions
+    (ManiSDP_unitdiag.m:95-99).  The LOBPCG path can only count
+    negatives among its k Ritz values, so num_neg saturates at the
+    block size k.  This never changes the escape decision: every driver
+    passes k = delta + 1, so whenever the true count exceeds delta the
+    saturated count is still >= delta + 1 > delta and min(num_neg,
+    delta) = delta exactly as with the full eig; below saturation the
+    Ritz count approximates the true count directly.  Certification
+    (dinf) never uses num_neg.
+    """
+    lam_min: jax.Array       # smallest eigenvalue of S (residual-backed)
+    lam_max: jax.Array       # largest eigenvalue of S (upper estimate)
+    num_neg: jax.Array       # negative-eigenvalue count (see docstring)
     neg_vecs: jax.Array      # (n, k) eigenvectors of the k smallest eigenvalues
     neg_vals: jax.Array      # (k,) the k smallest eigenvalues, ascending
 
