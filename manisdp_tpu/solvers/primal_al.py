@@ -283,18 +283,19 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
 
     problem, cost_only = _make_problem(variant)
     M = variant.manifold
-    tcg_dt = "float32" if opt.inner_dtype == "tcg32" else None
-    tr_budgets = {
-        0: TROptions(maxiter=opt.tr_maxiter, maxinner=opt.tr_maxinner,
-                     tolgradnorm=opt.tolgradnorm, tcg_dtype=tcg_dt),
-        1: TROptions(maxiter=max(opt.boost_tr_maxiter, opt.tr_maxiter),
-                     maxinner=max(opt.boost_tr_maxinner, opt.tr_maxinner),
-                     tolgradnorm=opt.tolgradnorm, tcg_dtype=tcg_dt),
-    }
+    def budget(tier, use32):
+        kw = dict(tolgradnorm=opt.tolgradnorm,
+                  tcg_dtype="float32" if use32 else None)
+        if tier == 0:
+            return TROptions(maxiter=opt.tr_maxiter,
+                             maxinner=opt.tr_maxinner, **kw)
+        return TROptions(maxiter=max(opt.boost_tr_maxiter, opt.tr_maxiter),
+                         maxinner=max(opt.boost_tr_maxinner,
+                                      opt.tr_maxinner), **kw)
 
     def factory(key):
-        _, tier = key
-        base = make_trustregions(problem, tr_budgets[tier])
+        _, tier, u32 = key
+        base = make_trustregions(problem, budget(tier, u32))
         solve32 = None
         if sharded:
             solve = shard_wrap(base, (_P(), param_specs, _P()))
@@ -305,7 +306,7 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
             solve = jax.jit(base)
             ls = make_line_search(cost_only, M.renormalize)
         if opt.inner_dtype == "mixed":
-            t = tr_budgets[tier]
+            t = budget(tier, False)
             tr32 = TROptions(maxiter=t.maxiter, maxinner=t.maxinner,
                              tolgradnorm=max(opt.mixed_tolgradnorm,
                                              t.tolgradnorm))
@@ -364,12 +365,13 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
     sv_dev = z_dev = y_dev = None
     it = 0
     tier = 0
+    use32 = opt.inner_dtype == "tcg32"
     frozen = 0          # consecutive endgame iterations with frozen sigma
 
     timers = PhaseTimers()
     for it in range(1, opt.max_outer + 1):
         fac_size.append(p)
-        solve, solve32, line_search = cache((p_pad, tier))
+        solve, solve32, line_search = cache((p_pad, tier, use32))
         params = dict(op=op_dev, y=y, sigma=jnp.float64(sigma))
         with timers.timed("rtr"):
             if U_dir is not None:
@@ -423,10 +425,20 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
                 print("Optimality is reached!", flush=True)
             break
         if slow.check(it, gap, pinf, dinf):
-            status = 2
-            if opt.verbose:
-                print("Slow progress!", flush=True)
-            break
+            if use32:
+                # precision fallback: f32 tCG directions can stall on
+                # very ill-conditioned subproblems; demote the inner
+                # loop to f64 and keep going instead of bailing
+                use32 = False
+                slow.prev = None
+                if opt.verbose:
+                    print("Slow progress under tcg32 -> f64 inner "
+                          "fallback", flush=True)
+            else:
+                status = 2
+                if opt.verbose:
+                    print("Slow progress!", flush=True)
+                break
 
         # ---- rank update (host) ----
         Y_host = np.asarray(jax.device_get(Y))
