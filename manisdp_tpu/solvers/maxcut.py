@@ -75,7 +75,12 @@ def _make_inner(opt: SolverOptions, dense: bool):
     """RTR solve + certificate, jit-cached per p_pad."""
     problem = make_maxcut_problem(dense)
     cost = problem.cost
-    tcg_dt = "float32" if opt.inner_dtype == "tcg32" else None
+    # tcg32 applies to the sparse cost path only: the dense path is
+    # already MXU-fast at its sizes, and the axon remote compiler
+    # SIGABRTs (Check failed: buffer != nullptr in HloOptimize) on the
+    # dense mixed-dtype tCG program.
+    tcg_dt = "float32" if (opt.inner_dtype == "tcg32" and not dense) \
+        else None
     tr_opts = TROptions(maxiter=opt.tr_maxiter, maxinner=opt.tr_maxinner,
                         tolgradnorm=opt.tolgradnorm, tcg_dtype=tcg_dt)
     solve = jax.jit(make_trustregions(problem, tr_opts))

@@ -143,11 +143,14 @@ def test_batch_mixed_warns():
 
 def test_tcg32_maxcut_matches_f64():
     """inner_dtype='tcg32' (f32 truncated-CG, f64 outer) must certify
-    the same 1e-8 result — the tCG is just an inexact model solve."""
+    the same 1e-8 result — the tCG is just an inexact model solve.
+    Force the SPARSE cost path (the one tcg32 applies to; the dense
+    path keeps f64 tCG, see solvers/maxcut._make_inner)."""
     C = _random_laplacian_cost()
-    r64 = solve_maxcut_unitdiag(C, p0=8, verbose=False)
-    r32 = solve_maxcut_unitdiag(C, p0=8, verbose=False,
-                                inner_dtype="tcg32")
+    kw = dict(p0=8, verbose=False, dense_cost_max_n=0,
+              dense_cost_nnz_factor=0)
+    r64 = solve_maxcut_unitdiag(C, inner_dtype="float64", **kw)
+    r32 = solve_maxcut_unitdiag(C, inner_dtype="tcg32", **kw)
     assert r32.status == 0
     assert r32.dinf < 1e-8
     assert abs(r32.obj - r64.obj) / (1 + abs(r64.obj)) < 1e-7
