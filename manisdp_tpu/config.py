@@ -67,11 +67,13 @@ class SolverOptions:
     lobpcg_maxiter: int = 400
     lobpcg_maxiter_warm: int = 80
     # Certificate precision: "float32" runs the bulk of the LOBPCG
-    # iterations in f32 (several-fold faster on TPU) with
-    # ``lobpcg_refine`` f64 polish iterations; the reported dinf bound
-    # is ALWAYS the f64 residual-backed one, so a weak f32 stage can
-    # only be conservative.  "float64" = single-precision-free.
-    cert_pre_dtype: str = "float32"
+    # iterations in f32 with ``lobpcg_refine`` f64 polish iterations;
+    # the reported dinf bound is ALWAYS the f64 residual-backed one, so
+    # a weak f32 stage can only be conservative.  Default "float64":
+    # the axon remote compiler SIGABRTs on f32 lobpcg_standard (its
+    # internal f32 eigh), so the f32 path is opt-in for toolchains that
+    # compile it (works on CPU).
+    cert_pre_dtype: str = "float64"
     lobpcg_refine: int = 16
     # Endgame TR-budget escalation: the reference's tiny TR budgets
     # (e.g. TR_maxiter=3) assume the subproblem is nearly solved each
