@@ -100,14 +100,28 @@ def bench_bqp60_dual(baseline=134.0):
 
 def main():
     rows = []
+
+    def run(fn, *args):
+        # one workload's failure (e.g. a remote-compiler crash) must
+        # not lose the other rows
+        try:
+            rows.append(fn(*args))
+        except Exception as e:          # pragma: no cover
+            print(json.dumps({"metric": f"{fn.__name__}_FAILED",
+                              "error": repr(e)[:200]}), flush=True)
+
     if BENCH_SET == "g1":
-        rows.append(bench_maxcut("G1", 3.0, False))
+        run(bench_maxcut, "G1", 3.0, False)
     else:
-        rows.append(bench_maxcut("G1", 3.0, False))
-        rows.append(bench_maxcut("G67", 1500.0, False))
-        rows.append(bench_mc())
+        run(bench_maxcut, "G1", 3.0, False)
+        run(bench_maxcut, "G67", 1500.0, False)
+        run(bench_mc)
         if BENCH_SET == "full+bqp":
-            rows.append(bench_bqp60_dual())
+            run(bench_bqp60_dual)
+    if not rows:
+        print(json.dumps({"metric": "bench_failed", "value": 0.0,
+                          "unit": "x", "vs_baseline": 0.0}))
+        return
 
     speedups = [r["vs_baseline"] for r in rows]
     geo = 1.0
