@@ -25,7 +25,10 @@ def monomial_basis(n: int, d: int, max_power: int | None = None,
     (e.g. 1 for squarefree); ``drop_all_even`` removes perfect squares
     (used by bqpmom's label set, bqpmom.m:17-23).
     """
-    if max_power == 1:
+    if max_power == 1 and n <= 62:
+        # the fast path's int64 bitmask sort key overflows at n >= 63
+        # (ADVICE r2) — the generic enumeration below sorts by
+        # tuple(e[::-1]), the same order, without the overflow
         return _squarefree_basis(n, d, drop_all_even)
     cols = []
     for deg in range(d + 1):
@@ -60,6 +63,7 @@ def _squarefree_basis(n: int, d: int, drop_all_even: bool) -> np.ndarray:
     """
     from itertools import combinations
 
+    assert n <= 62, "int64 bitmask key overflows at n >= 63"
     blocks = []
     for deg in range(d + 1):
         if deg == 0:

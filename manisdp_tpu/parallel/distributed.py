@@ -9,7 +9,12 @@ module is the multi-host entry point for the TPU rebuild:
     axis follows process (host) boundaries, so 'model'-axis collectives
     (the psums of the sharded constraint operator,
     parallel/sharded_ops.py) ride ICI within a host/slice while only
-    the rare cross-replica reductions touch DCN;
+    the rare cross-replica reductions touch DCN.  NOTE: the sharded AL
+    driver (solvers/primal_al.py, mesh=...) takes a SINGLE-axis mesh —
+    carve the model axis out of this 2-D mesh first, e.g.
+    ``Mesh(host_mesh.devices[i], ('model',))`` per dcn group, or use
+    the full grid via ``Mesh(devs.reshape(-1), ('model',))`` when DCN
+    replication is not wanted;
   - ``make_batch_host_mesh()`` maps independent SDP instances one group
     per host ('batch' over DCN — embarrassingly parallel) with 'model'
     inside.

@@ -239,13 +239,17 @@ def solve_dual_al(variant_name: str, op: DualOp,
     # Ritz block; the full budget is paid only when accuracy decides
     # convergence.  Certification stays sound either way — lam_min is a
     # residual-backed lower bound (ops/eigs.py).
-    use32 = opt.cert_pre_dtype == "float32"
+    # NOTE: named cert32 (not use32) — the RTR loop's use32 flag below
+    # would otherwise shadow this before the jitted closures trace,
+    # silently gating the f32 LOBPCG pre-stage on inner_dtype
+    # (ADVICE r2, high).
+    cert32 = opt.cert_pre_dtype == "float32"
 
     def _lob(maxiter):
         @jax.jit
         def f(Xp, key, X0):
             matvec32 = None
-            if use32:
+            if cert32:
                 Xp32 = Xp.astype(jnp.float32)
                 matvec32 = lambda V: Xp32 @ V
             return lobpcg_certificate(lambda V: Xp @ V, n, k_cert, key,
@@ -417,15 +421,6 @@ def solve_dual_al(variant_name: str, op: DualOp,
         Y = jnp.asarray(pad_rows(Y_host, p_pad))
         U_dir = pad_rows(U_host, p_pad) if U_host is not None else None
 
-        if opt.checkpoint_every and opt.checkpoint_path and \
-                it % opt.checkpoint_every == 0:
-            from ..utils.checkpoint import save_state
-            save_state(opt.checkpoint_path,
-                       Y=np.asarray(jax.device_get(Y))[:p],
-                       w=np.asarray(jax.device_get(w)),
-                       Xm=np.asarray(jax.device_get(Xm)), sigma=sigma,
-                       iteration=it)
-
         if pinf < opt.tau1 * gradnorm:
             sigma = max(sigma / opt.gama, opt.sigma_min)
             frozen = 0
@@ -443,6 +438,17 @@ def solve_dual_al(variant_name: str, op: DualOp,
                     tier = 1
             else:
                 frozen = 0
+
+        # checkpoint AFTER the sigma update so resuming with
+        # sigma0=st["sigma"] continues the exact trajectory (ADVICE r2)
+        if opt.checkpoint_every and opt.checkpoint_path and \
+                it % opt.checkpoint_every == 0:
+            from ..utils.checkpoint import save_state
+            save_state(opt.checkpoint_path,
+                       Y=np.asarray(jax.device_get(Y))[:p],
+                       w=np.asarray(jax.device_get(w)),
+                       Xm=np.asarray(jax.device_get(Xm)), sigma=sigma,
+                       tier=tier, iteration=it)
     else:
         it = opt.max_outer
 

@@ -71,16 +71,17 @@ def make_maxcut_problem(dense: bool = True) -> Problem:
     return Problem(manifold=Oblique, cost=cost, grad=grad, hess=hess)
 
 
-def _make_inner(opt: SolverOptions, dense: bool):
-    """RTR solve + certificate, jit-cached per p_pad."""
+def _make_inner(opt: SolverOptions, dense: bool, use32: bool = None):
+    """RTR solve + certificate, jit-cached per (p_pad, use32)."""
     problem = make_maxcut_problem(dense)
     cost = problem.cost
+    if use32 is None:
+        use32 = opt.inner_dtype == "tcg32"
     # tcg32 applies to the sparse cost path only: the dense path is
     # already MXU-fast at its sizes, and the axon remote compiler
     # SIGABRTs (Check failed: buffer != nullptr in HloOptimize) on the
     # dense mixed-dtype tCG program.
-    tcg_dt = "float32" if (opt.inner_dtype == "tcg32" and not dense) \
-        else None
+    tcg_dt = "float32" if (use32 and not dense) else None
     tr_opts = TROptions(maxiter=opt.tr_maxiter, maxinner=opt.tr_maxinner,
                         tolgradnorm=opt.tolgradnorm, tcg_dtype=tcg_dt)
     solve = jax.jit(make_trustregions(problem, tr_opts))
@@ -214,7 +215,9 @@ def solve_maxcut_unitdiag(C, options: Optional[SolverOptions] = None,
         print("ManiSDP-TPU (maxcut/unitdiag) is starting...", flush=True)
         print(f"SDP size: n = {n}, m = {n}", flush=True)
 
-    inner_cache = JitCache(lambda p_pad: _make_inner(opt, dense))
+    inner_cache = JitCache(
+        lambda key: _make_inner(opt, dense, use32=key[1]))
+    use32 = opt.inner_dtype == "tcg32"
     mixed = opt.inner_dtype == "mixed"
     if mixed:
         C32 = (C_param.astype(jnp.float32) if dense
@@ -251,7 +254,7 @@ def solve_maxcut_unitdiag(C, options: Optional[SolverOptions] = None,
 
     for it in range(1, opt.max_outer + 1):
         fac_size.append(p)
-        solve, solve32, line_search = inner_cache(p_pad)
+        solve, solve32, line_search = inner_cache((p_pad, use32))
         with timers.timed("rtr"):
             if U_dir is not None:
                 Y = line_search(Y, jnp.asarray(U_dir), C_param)
@@ -292,10 +295,20 @@ def solve_maxcut_unitdiag(C, options: Optional[SolverOptions] = None,
                 print("Optimality is reached!", flush=True)
             break
         if slow.check(it, dinf):
-            status = 2
-            if opt.verbose:
-                print("Slow progress!", flush=True)
-            break
+            if use32:
+                # precision fallback mirroring the AL drivers (ADVICE r2):
+                # demote the f32 tCG inner loop to f64 and keep going
+                # instead of bailing with status 2
+                use32 = False
+                slow.prev = None
+                if opt.verbose:
+                    print("Slow progress under tcg32 -> f64 inner "
+                          "fallback", flush=True)
+            else:
+                status = 2
+                if opt.verbose:
+                    print("Slow progress!", flush=True)
+                break
 
         # ---- rank update (host) ----
         Y_host = np.asarray(jax.device_get(Y))

@@ -262,7 +262,20 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
         from jax.sharding import PartitionSpec as _P
         from ..parallel.sharded_ops import ShardedConstraintOp
         axis = mesh.axis_names[0]
-        sop_host = ShardedConstraintOp.build(op, mesh.devices.size, axis)
+        # Build exactly mesh.shape[axis] slices and shard over THAT
+        # axis: with a multi-axis mesh (e.g. distributed.make_host_mesh's
+        # (dcn, model)), mesh.devices.size slices sharded over one axis
+        # would leave several slices per device with only the first one
+        # read — silently wrong reductions (ADVICE r2, medium).  Multi-
+        # axis meshes are rejected until a wiring replicates correctly
+        # over the extra axes.
+        if len(mesh.axis_names) != 1:
+            raise ValueError(
+                "solve_primal_al(mesh=...) supports a single-axis mesh; "
+                f"got axes {mesh.axis_names}.  Pass a 1-D submesh for "
+                "the model axis (e.g. Mesh(devices.reshape(-1), "
+                "('model',)))")
+        sop_host = ShardedConstraintOp.build(op, mesh.shape[axis], axis)
         op_dev = jax.device_put(sop_host, sop_host.shardings(mesh))
         op_specs = sop_host.specs()
         param_specs = dict(op=op_specs, y=_P(), sigma=_P())
@@ -464,14 +477,6 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
         Y = jnp.asarray(pad_rows(Y_host, p_pad))
         U_dir = pad_rows(U_host, p_pad) if U_host is not None else None
 
-        if opt.checkpoint_every and opt.checkpoint_path and \
-                it % opt.checkpoint_every == 0:
-            from ..utils.checkpoint import save_state
-            save_state(opt.checkpoint_path,
-                       Y=np.asarray(jax.device_get(Y))[:p],
-                       y=np.asarray(jax.device_get(y)), sigma=sigma,
-                       iteration=it)
-
         # ---- sigma schedule ----
         if pinf < opt.tau1 * gradnorm:
             sigma = max(sigma / opt.gama, opt.sigma_min)
@@ -490,6 +495,17 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
                     tier = 1
             else:
                 frozen = 0
+
+        # checkpoint AFTER the sigma update so resuming with
+        # sigma0=st["sigma"] continues the exact trajectory (the
+        # documented SDPResult.sigma is also post-update; ADVICE r2)
+        if opt.checkpoint_every and opt.checkpoint_path and \
+                it % opt.checkpoint_every == 0:
+            from ..utils.checkpoint import save_state
+            save_state(opt.checkpoint_path,
+                       Y=np.asarray(jax.device_get(Y))[:p],
+                       y=np.asarray(jax.device_get(y)), sigma=sigma,
+                       tier=tier, iteration=it)
     else:
         it = opt.max_outer
 

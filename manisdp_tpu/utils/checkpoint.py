@@ -16,7 +16,8 @@ import numpy as np
 
 
 def save_state(path: str, *, Y, y=None, w=None, Xm=None, sigma=None,
-               iteration=None, extra: Dict[str, Any] | None = None):
+               tier=None, iteration=None,
+               extra: Dict[str, Any] | None = None):
     """Snapshot outer state to ``path`` (.npz)."""
     payload: Dict[str, Any] = {"Y": np.asarray(Y)}
     if y is not None:
@@ -27,6 +28,8 @@ def save_state(path: str, *, Y, y=None, w=None, Xm=None, sigma=None,
         payload["Xm"] = np.asarray(Xm)
     if sigma is not None:
         payload["sigma"] = np.float64(sigma)
+    if tier is not None:
+        payload["tier"] = np.int64(tier)
     if iteration is not None:
         payload["iteration"] = np.int64(iteration)
     for k, v in (extra or {}).items():
