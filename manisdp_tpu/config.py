@@ -122,8 +122,13 @@ class SolverOptions:
     # dense path wins ~10x on gather-heavy mid-size patterns (matrix
     # completion n=4000: nnzP ~ 2.6M); the factored path is the only
     # one that scales past n ~ 10^4 and the only one that shards.
-    al_op_mode: str = "auto"          # "auto" | "dense" | "sparse"
+    al_op_mode: str = "auto"     # "auto" | "entrywise" | "dense" | "sparse"
     dense_al_max_n: int = 4096
+    # Entrywise-sample specialization (matrix-completion class): when
+    # every constraint touches a single entry / symmetric pair, "auto"
+    # uses EntrywiseConstraintOp (dense masked carriers, zero
+    # gather/scatter) up to this n (~6 dense n^2 f64 arrays of HBM).
+    entrywise_al_max_n: int = 8192
     # In-run checkpointing: every ``checkpoint_every`` outer iterations
     # the driver snapshots (Y, multipliers, sigma, iteration) to
     # ``checkpoint_path`` via utils.checkpoint.save_state.  0 = off.

@@ -293,6 +293,28 @@ class ConstraintOp:
     # (parallel/sharded_ops.ShardedConstraintOp) can drop in: its
     # pattern-entry arrays are device-sharded and these reductions carry
     # a psum over the mesh axis.
+    #
+    # Residual-space protocol: multipliers / constraint residuals live in
+    # R^m here, but EntrywiseConstraintOp carries them as dense (n, n)
+    # representatives — the solvers touch them only through these.
+    def res_zeros(self):
+        return jnp.zeros(self.m)
+
+    def res_from_mvec(self, y):
+        """Host (m,) multipliers -> device residual-space repr."""
+        return jnp.asarray(np.asarray(y, dtype=np.float64).ravel())
+
+    def res_to_mvec(self, y_dev):
+        """Device residual-space repr -> host (m,) multipliers."""
+        return np.asarray(jax.device_get(y_dev))
+
+    def dot_res(self, u, v):
+        """<u, v> in residual (constraint) space."""
+        return jnp.dot(u, v)
+
+    def norm_res(self, u):
+        return jnp.linalg.norm(u)
+
     @property
     def c_pattern(self):
         """Values of the cost vector c restricted to the pattern P."""
@@ -394,3 +416,182 @@ class DenseConstraintOp:
 
     def matvec_pattern(self, V, vals):
         return vals @ V
+
+    # residual-space protocol (same (m,) layout as ConstraintOp)
+    def res_zeros(self):
+        return jnp.zeros(self.m)
+
+    def res_from_mvec(self, y):
+        return jnp.asarray(np.asarray(y, dtype=np.float64).ravel())
+
+    def res_to_mvec(self, y_dev):
+        return np.asarray(jax.device_get(y_dev))
+
+    def dot_res(self, u, v):
+        return jnp.dot(u, v)
+
+    def norm_res(self, u):
+        return jnp.linalg.norm(u)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EntrywiseConstraintOp:
+    """Constraint operator for ENTRYWISE-sample constraint sets — the
+    matrix-completion class (VERDICT r2 item 1).
+
+    Every constraint touches a single matrix entry: either one diagonal
+    position {(i,i)} or a symmetric off-diagonal pair {(i,j), (j,i)}
+    with equal coefficients (e.g. X[j, p+k] + X[p+k, j] = b
+    in example_matrixcompletion.m:50-60; reference solver hot path
+    src/primal/ManiSDP.m:161-165).  Then A'A is DIAGONAL and the whole
+    AL algebra collapses to dense masked elementwise ops + MXU matmuls:
+
+      A(M)   (dense rep) = dfac .* (aval.*M + (aval.*M)')
+      mat(A'w)           = aval .* W            (W = dense rep of w)
+      mat(A'A vec(V))    = dfac .* aval^2 .* (V + V')
+
+    NO gather / scatter anywhere on the hot path — the generic
+    operators' m-length gathers (ConstraintOp) or n^2 scatters
+    (DenseConstraintOp) cost ~0.3 s per Hessian-vector product on TPU
+    for the mc n=2000 workload; here a Hessian-vector product is three
+    (n, n) x (n, p) matmuls plus elementwise work.
+
+    Residual space: multipliers y and residuals A(X)-b are carried as
+    dense (n, n) symmetric representatives D with D[i,j] = w_k for each
+    position of constraint k.  Inner products weight positions by
+    1/mult (``minv``) so they equal the R^m inner products exactly.
+    """
+    aval: jax.Array      # (n, n) constraint coefficient at each position
+    C: jax.Array         # (n, n) dense symmetric cost
+    b: jax.Array         # (n, n) dense rep of the right-hand side
+    minv: jax.Array      # (n, n) 1/mult on the sample mask, 0 elsewhere
+    dfac: jax.Array      # (n, n) 0.5/minv on the mask (1 off-diag, 0.5 diag)
+    # host-side constraint indexing for (m,) <-> dense conversions;
+    # unused inside jitted code (int leaves, ignored by dtype casts)
+    ki: jax.Array        # (m,) int32 row of constraint k's entry
+    kj: jax.Array        # (m,) int32 col (ki <= kj canonical)
+    m: int = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+    # -- construction ------------------------------------------------------
+    @staticmethod
+    def detect(op: ConstraintOp) -> Optional["EntrywiseConstraintOp"]:
+        """Build from a generic ConstraintOp iff every constraint is
+        entrywise (single diagonal entry, or a symmetric off-diagonal
+        pair with equal values).  Returns None otherwise."""
+        k = np.asarray(op.k)
+        i = np.asarray(op.i)
+        j = np.asarray(op.j)
+        v = np.asarray(op.v)
+        m, n = op.m, op.n
+        counts = np.bincount(k, minlength=m)
+        if counts.size == 0 or counts.max() > 2 or counts.min() < 1:
+            return None
+        # canonical per-entry key; a 2-entry constraint must be the
+        # symmetric pair (i,j),(j,i) with equal values
+        order = np.argsort(k, kind="stable")   # already sorted, but safe
+        k, i, j, v = k[order], i[order], j[order], v[order]
+        first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        two = counts == 2
+        if np.any(two):
+            a = first[two]
+            if not (np.array_equal(i[a], j[a + 1])
+                    and np.array_equal(j[a], i[a + 1])
+                    and np.allclose(v[a], v[a + 1])
+                    and np.all(i[a] != j[a])):
+                return None
+        one = counts == 1
+        if np.any(one) and np.any(i[first[one]] != j[first[one]]):
+            return None            # lone off-diagonal entry: asymmetric A_k
+
+        # no two constraints may share a position (aval would collide)
+        keys = i.astype(np.int64) * n + j
+        if np.unique(keys).shape[0] != keys.shape[0]:
+            return None
+
+        b_host = np.asarray(op.b)
+        aval = np.zeros((n, n))
+        brep = np.zeros((n, n))
+        mult = np.zeros((n, n))
+        aval[i, j] = v
+        ii = i[first]
+        jj = j[first]
+        brep[i, j] = b_host[k]
+        mult[i, j] = 1.0                 # support marker (entries unique)
+        # a constraint occupies 2 positions off-diagonal, 1 on it
+        offd = (np.arange(n)[:, None] != np.arange(n)[None, :])
+        mult = mult * np.where(offd, 2.0, 1.0)
+        minv = np.where(mult > 0, 1.0 / np.maximum(mult, 1.0), 0.0)
+        dfac = np.where(mult > 0, 0.5 * mult, 0.0)
+        C = np.zeros((n, n))
+        C[np.asarray(op.pat.i), np.asarray(op.pat.j)] = np.asarray(op.pat.v)
+        lo = np.minimum(ii, jj).astype(np.int32)
+        hi = np.maximum(ii, jj).astype(np.int32)
+        return EntrywiseConstraintOp(
+            aval=jnp.asarray(aval), C=jnp.asarray(C), b=jnp.asarray(brep),
+            minv=jnp.asarray(minv), dfac=jnp.asarray(dfac),
+            ki=jnp.asarray(lo), kj=jnp.asarray(hi), m=int(m), n=int(n))
+
+    @property
+    def nnz(self) -> int:
+        return self.m
+
+    # -- operator protocol (dense masked carriers) -------------------------
+    @property
+    def c_pattern(self):
+        return self.C
+
+    def pattern_pair_dots(self, Y, U=None):
+        return Y.T @ (Y if U is None else U)
+
+    def dot_pattern(self, u, v):
+        return jnp.sum(u * v)
+
+    def apply_from_e(self, e):
+        R = self.aval.astype(e.dtype) * e
+        return self.dfac.astype(e.dtype) * (R + R.T)
+
+    def apply_factored(self, Y, U=None):
+        return self.apply_from_e(self.pattern_pair_dots(Y, U))
+
+    def adjoint_on_pattern(self, w):
+        return self.aval.astype(w.dtype) * w
+
+    def es_vals(self, w, sigma):
+        return self.C.astype(w.dtype) + sigma * self.adjoint_on_pattern(w)
+
+    def s_vals(self, y):
+        return self.C.astype(y.dtype) - self.adjoint_on_pattern(y)
+
+    def colsum_pattern(self, vals):
+        return jnp.sum(vals, axis=0)
+
+    def matmat_pattern(self, Y, vals):
+        return Y @ vals
+
+    def matvec_pattern(self, V, vals):
+        return vals @ V
+
+    # -- residual space (dense (n, n) representatives) ---------------------
+    def res_zeros(self):
+        return jnp.zeros((self.n, self.n))
+
+    def res_from_mvec(self, y):
+        y = np.asarray(y, dtype=np.float64).ravel()
+        ki = np.asarray(self.ki)
+        kj = np.asarray(self.kj)
+        out = np.zeros((self.n, self.n))
+        out[ki, kj] = y
+        out[kj, ki] = y
+        return jnp.asarray(out)
+
+    def res_to_mvec(self, y_dev):
+        D = np.asarray(jax.device_get(y_dev))
+        return D[np.asarray(self.ki), np.asarray(self.kj)]
+
+    def dot_res(self, u, v):
+        return jnp.sum(u * v * self.minv.astype(u.dtype))
+
+    def norm_res(self, u):
+        return jnp.sqrt(self.dot_res(u, u))

@@ -221,3 +221,20 @@ class ShardedConstraintOp:
                                   num_segments=self.n,
                                   indices_are_sorted=True)
         return self._psum(loc)
+
+    # -- residual-space protocol (m-vectors, replicated across shards) ------
+    def res_zeros(self):
+        return jnp.zeros(self.m)
+
+    def res_from_mvec(self, y):
+        return jnp.asarray(np.asarray(y, dtype=np.float64).ravel())
+
+    def res_to_mvec(self, y_dev):
+        return np.asarray(jax.device_get(y_dev))
+
+    def dot_res(self, u, v):
+        # u, v replicated (m,) vectors: a local dot, no psum
+        return jnp.dot(u, v)
+
+    def norm_res(self, u):
+        return jnp.linalg.norm(u)

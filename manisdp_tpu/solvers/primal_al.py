@@ -75,7 +75,7 @@ def _make_problem(variant: ALVariant):
         e = op.pattern_pair_dots(Y)
         cx = op.dot_pattern(op.c_pattern, e)
         Axb = op.apply_from_e(e) - op.b - y / sigma
-        f = cx + 0.5 * sigma * jnp.dot(Axb, Axb)
+        f = cx + 0.5 * sigma * op.dot_res(Axb, Axb)
         return f, (Axb, e)
 
     def grad(Y, params, aux):
@@ -125,11 +125,11 @@ def _make_stats(variant: ALVariant):
         obj = op.dot_pattern(op.c_pattern, e)
         Ax = op.apply_from_e(e)
         Axb = Ax - op.b
-        normb = 1.0 + jnp.linalg.norm(op.b)
-        pinf = jnp.linalg.norm(Axb) / normb
+        normb = 1.0 + op.norm_res(op.b)
+        pinf = op.norm_res(Axb) / normb
         y_new = y - sigma * Axb
         sv = op.s_vals(y_new)                        # c - A'y on P
-        by = jnp.dot(op.b, y_new)
+        by = op.dot_res(op.b, y_new)
         if variant.shift == "diag":
             z = op.colsum_pattern(sv * e)
             by = by + jnp.sum(z)
@@ -288,10 +288,25 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
         sv_spec = _P(axis)
         sv_unpad = lambda a: a[:op.pat.nnz]
     else:
-        # dense MXU carriers for moderate n (see config.al_op_mode)
-        use_dense_op = opt.al_op_mode == "dense" or (
-            opt.al_op_mode == "auto" and n <= opt.dense_al_max_n)
-        op_dev = op.to_dense_op() if use_dense_op else op
+        # operator specialization ladder (see config.al_op_mode):
+        #   1. entrywise-sample structure (matrix-completion class) ->
+        #      EntrywiseConstraintOp: dense masked elementwise + MXU,
+        #      no gather/scatter at all (VERDICT r2 item 1);
+        #   2. dense MXU carriers for moderate n;
+        #   3. factored gather/segment path (scales, shards).
+        op_dev = None
+        if opt.al_op_mode in ("auto", "entrywise") and \
+                n <= opt.entrywise_al_max_n:
+            from ..ops.sparse import EntrywiseConstraintOp
+            op_dev = EntrywiseConstraintOp.detect(op)
+            if op_dev is None and opt.al_op_mode == "entrywise":
+                raise ValueError(
+                    "al_op_mode='entrywise' but the constraint set is "
+                    "not entrywise (single-entry / symmetric-pair)")
+        if op_dev is None:
+            use_dense_op = opt.al_op_mode == "dense" or (
+                opt.al_op_mode == "auto" and n <= opt.dense_al_max_n)
+            op_dev = op.to_dense_op() if use_dense_op else op
         sv_unpad = lambda a: a
 
     problem, cost_only = _make_problem(variant)
@@ -367,8 +382,7 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
         Y = M.rand(sub, p, n, p_pad)
     U_dir = None
 
-    y = jnp.zeros(m) if y0 is None else jnp.asarray(
-        np.asarray(y0, dtype=np.float64).ravel())
+    y = op_dev.res_zeros() if y0 is None else op_dev.res_from_mvec(y0)
     sigma = opt.sigma0
     status = 0
     total_tr = total_hess = 0
@@ -504,7 +518,7 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
             from ..utils.checkpoint import save_state
             save_state(opt.checkpoint_path,
                        Y=np.asarray(jax.device_get(Y))[:p],
-                       y=np.asarray(jax.device_get(y)), sigma=sigma,
+                       y=op_dev.res_to_mvec(y), sigma=sigma,
                        tier=tier, iteration=it)
     else:
         it = opt.max_outer
@@ -537,7 +551,7 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
             S_host[np.arange(n), np.arange(n)] -= float(z_dev)
     return SDPResult(
         X=X, obj=obj, Y=Y_act,
-        y=np.asarray(jax.device_get(y_dev)) if y_dev is not None else None,
+        y=op_dev.res_to_mvec(y_dev) if y_dev is not None else None,
         S=S_host,
         z=np.asarray(jax.device_get(z_dev)) if z_dev is not None else None,
         gap=gap, pinf=pinf, dinf=dinf, eta=eta, gradnorm=gradnorm,
