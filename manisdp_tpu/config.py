@@ -57,7 +57,13 @@ class SolverOptions:
     # Certificate eigensolver: "eigh" (full dense) or "lobpcg" (partial,
     # for large n); "auto" switches on n.
     eig_method: str = "auto"
-    eig_switch_n: int = 2049      # n above which "auto" uses lobpcg
+    eig_switch_n: int = 1024      # n above which "auto" uses lobpcg
+    # Partial-eigensolver implementation: "rowrr" = row-layout LOBPCG
+    # with host Rayleigh-Ritz (ops/eigs_rr.py — the (n, k) column
+    # layout of jax's lobpcg_standard measured ~112 ms per raw matvec
+    # chain step at G67 size, ~100x the row-layout cost); "lobpcg" =
+    # the jax lobpcg_standard path (kept for the mesh-sharded cert).
+    cert_method: str = "rowrr"
     # LOBPCG certificate budgets: the warm-started cert (X0 carried
     # across outer iterations) uses the cheap budget; the full budget is
     # paid only when the conservative bound fails to certify tol but the
@@ -67,13 +73,13 @@ class SolverOptions:
     lobpcg_maxiter: int = 400
     lobpcg_maxiter_warm: int = 80
     # Certificate precision: "float32" runs the bulk of the LOBPCG
-    # iterations in f32 with ``lobpcg_refine`` f64 polish iterations;
-    # the reported dinf bound is ALWAYS the f64 residual-backed one, so
-    # a weak f32 stage can only be conservative.  Default "float64":
-    # the axon remote compiler SIGABRTs on f32 lobpcg_standard (its
-    # internal f32 eigh), so the f32 path is opt-in for toolchains that
-    # compile it (works on CPU).
-    cert_pre_dtype: str = "float64"
+    # iterations in f32 with f64 polish; the reported dinf bound is
+    # ALWAYS the f64 residual-backed one, so a weak f32 stage can only
+    # be conservative.  "auto": f32 pre-stage ON for cert_method=rowrr
+    # (its host Rayleigh-Ritz avoids the on-device f32 eigh that
+    # SIGABRTs the axon compiler inside lobpcg_standard), OFF for the
+    # legacy lobpcg path.
+    cert_pre_dtype: str = "auto"
     lobpcg_refine: int = 16
     # Endgame TR-budget escalation: the reference's tiny TR budgets
     # (e.g. TR_maxiter=3) assume the subproblem is nearly solved each

@@ -1,0 +1,321 @@
+"""Row-layout LOBPCG with host-side Rayleigh-Ritz — the fast dual
+certificate.
+
+Round-3 profiling (benchmarks/prof_cert2.py / prof_cert3.py) showed the
+certificate cost on this TPU runtime is NOT the eigensolver math but the
+(n, k) column-block layout jax's ``lobpcg_standard`` forces: a raw
+S @ V matvec chain in that layout runs ~112 ms/iteration at G67 size
+while the SAME sparse contraction in the tCG loop's (rows, n) layout is
+sub-millisecond (n in the TPU lane dimension).  This module therefore:
+
+  - keeps every (block, n) array in ROW layout — the matvec is
+    ``rows @ S`` (== (S V)' for symmetric S), which every operator
+    already provides as ``matmat_pattern`` / ``SymCOO.matmat``;
+  - does the 3b x 3b Rayleigh-Ritz on HOST numpy each iteration
+    (~40 KB of Gram traffic; the emulated-f64 on-device small eighs
+    were the second pathology — they SIGABRT the axon compiler in f32,
+    commit ca8136f);
+  - optionally runs the bulk of the iterations in f32 (device matmuls
+    on the real MXU) and switches to f64 when residuals reach the f32
+    floor; the host RR is always f64.
+
+Soundness contract (same as ops/eigs.py): the reported lam_min is the
+f64 residual-backed lower bound ritz_0 - ||r_0||, so an unconverged or
+f32-polluted solve can only make dinf CONSERVATIVE, never falsely
+certify optimality.  Reference semantics being replaced: the full
+``eig(S, 'vector')`` per outer iteration (ManiSDP_onlyunitdiag.m:50,
+ManiSDP_unitdiag.m:68, ManiDSDP_unitdiag.m:84).
+
+The solver object jits its device phases ONCE; per-outer-iteration
+operator data (dual-matrix values, shifts) flows through a ``ctx``
+pytree argument, so outer iterations reuse the compiled programs
+(recompiles happen only when the block size b changes with the rank).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .eigs import CertResult
+
+
+def _host_rr(G: np.ndarray, H: np.ndarray, drop_tol: float):
+    """Generalized Rayleigh-Ritz on host: eigenpairs of H restricted to
+    the (whitened) span with Gram G.  Returns (theta ascending,
+    G-orthonormal coefficients C with C' G C = I)."""
+    G = (G + G.T) * 0.5
+    H = (H + H.T) * 0.5
+    w, V = np.linalg.eigh(G)
+    keep = w > drop_tol * max(w[-1], 1e-300)
+    if not np.any(keep):
+        keep = w == w[-1]
+    W = V[:, keep] / np.sqrt(w[keep])
+    Hs = W.T @ H @ W
+    th, U = np.linalg.eigh((Hs + Hs.T) * 0.5)
+    return th, W @ U
+
+
+class RowCertSolver:
+    """Reusable row-layout LOBPCG eigensolver.
+
+    ``matvec_rows(V, ctx) -> V @ S`` where ``ctx`` is an arbitrary
+    pytree of per-call operator data (e.g. dual-matrix values on the
+    pattern and the diagonal shift).  ``matvec32_rows``: the same in
+    float32 (receives ``ctx`` cast to f32); enables the f32 bulk stage.
+    """
+
+    def __init__(self, matvec_rows: Callable, n: int,
+                 matvec32_rows: Optional[Callable] = None):
+        self.n = n
+        self._mv64 = jax.jit(matvec_rows)
+        self._expand64, self._contract64 = self._make_steps(matvec_rows)
+        self._have32 = matvec32_rows is not None
+        if self._have32:
+            self._expand32, self._contract32 = \
+                self._make_steps(matvec32_rows)
+        self._lanczos_jit = self._make_lanczos(matvec_rows, n)
+        self._cast32 = jax.jit(lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t))
+
+    # -- jitted device phases ---------------------------------------------
+    @staticmethod
+    def _make_steps(matvec_rows):
+        @jax.jit
+        def expand(X, AX, P, AP, theta, ctx):
+            R = AX - theta[:, None] * X
+            rn = jnp.sqrt(jnp.sum(R * R, axis=1))
+            R = R / jnp.maximum(rn, 1e-300)[:, None]
+            AR = matvec_rows(R, ctx)
+            Z = jnp.concatenate([X, R, P], axis=0)
+            AZ = jnp.concatenate([AX, AR, AP], axis=0)
+            return Z, AZ, Z @ Z.T, Z @ AZ.T, rn
+
+        @jax.jit
+        def contract(Z, AZ, Cx, Cp):
+            return Cx @ Z, Cx @ AZ, Cp @ Z, Cp @ AZ
+
+        return expand, contract
+
+    @staticmethod
+    def _make_lanczos(matvec_rows, n: int, iters: int = 32):
+        """Spectral-interval estimate via Lanczos on (1, n) ROW
+        vectors (the (n, 1) column version measured 144 ms/iteration
+        at G67 size — prof_cert2).  The final 32x32 tridiagonal eigh
+        runs on device (small f64 eighs compile fine on axon)."""
+
+        @jax.jit
+        def run(ctx, key):
+            v = jax.random.normal(key, (1, n), dtype=jnp.float64)
+            v = v / jnp.linalg.norm(v)
+
+            def body(carry, _):
+                v_prev, v_cur, beta = carry
+                w = matvec_rows(v_cur, ctx) - beta * v_prev
+                alpha = jnp.vdot(v_cur, w)
+                w = w - alpha * v_cur
+                beta_new = jnp.linalg.norm(w)
+                v_next = w / jnp.maximum(beta_new, 1e-300)
+                return (v_cur, v_next, beta_new), (alpha, beta_new)
+
+            (_, _, _), (alphas, betas) = jax.lax.scan(
+                body, (jnp.zeros_like(v), v, jnp.float64(0.0)), None,
+                length=iters)
+            alphas = alphas.reshape(-1)
+            betas = betas.reshape(-1)[:-1]
+            T = jnp.diag(alphas) + jnp.diag(betas, 1) + \
+                jnp.diag(betas, -1)
+            ritz = jnp.linalg.eigvalsh(T)
+            slack = jnp.abs(betas[-1])
+            return ritz[0] - slack, ritz[-1] + slack
+
+        return run
+
+    def bounds(self, ctx, key):
+        lo, hi = self._lanczos_jit(ctx, key)
+        return float(lo), float(hi)
+
+    # -- main solve --------------------------------------------------------
+    def solve(self, ctx, key, k: int, X0=None, deflate=None,
+              maxiter: int = 200, tol: float = 1e-9,
+              use32: Optional[bool] = None, switch_tol: float = 1e-5,
+              lam_hint=None) -> CertResult:
+        n = self.n
+        if use32 is None:
+            use32 = self._have32
+        use32 = use32 and self._have32
+        key_l, key_x, key_q = jax.random.split(key, 3)
+
+        # block assembly (rows): wanted k + deflation augmentation
+        blocks = []
+        if X0 is not None:
+            X0 = jnp.asarray(X0, dtype=jnp.float64)
+            if X0.shape[0] == n and (X0.ndim == 1 or X0.shape[1] != n):
+                X0 = X0.T
+            blocks.append(X0[:k])
+        else:
+            blocks.append(
+                jax.random.normal(key_x, (k, n), dtype=jnp.float64))
+        b = blocks[0].shape[0]
+        aug_budget = max(min((n - 1) // 5 - b, 24 - b), 0)
+        if deflate is not None and aug_budget > 0:
+            Yd = jnp.asarray(deflate, dtype=jnp.float64)
+            p_d = min(Yd.shape[0], aug_budget)
+            G = Yd @ Yd.T
+            w, V = jnp.linalg.eigh(G)
+            w = w[::-1][:p_d]
+            V = V[:, ::-1][:, :p_d]
+            good = w > 1e-12 * jnp.maximum(w[0], 1e-300)
+            scale_q = 1.0 / jnp.sqrt(jnp.maximum(w, 1e-300))
+            Q = (V * scale_q[None, :]).T @ Yd
+            rnd = jax.random.normal(key_q, (p_d, n), dtype=jnp.float64)
+            blocks.append(jnp.where(good[:, None], Q, rnd))
+        X = jnp.concatenate(blocks, axis=0)
+        b = X.shape[0]
+
+        if lam_hint is not None:
+            lo, hi = lam_hint
+        else:
+            lo, hi = self.bounds(ctx, key_l)
+        scale = max(float(jnp.maximum(jnp.abs(lo), jnp.abs(hi))), 1e-30)
+
+        # initial RR on [X] to orthonormalize and seed theta
+        AX = self._mv64(X, ctx)
+        Gx = np.asarray(jax.device_get(X @ X.T))
+        Hx = np.asarray(jax.device_get(X @ AX.T))
+        th, Cd_h = self._host_pad_rr(Gx, Hx, b, 1e-12)
+        Cd = jnp.asarray(Cd_h)
+        X, AX = Cd @ X, Cd @ AX
+        theta = jnp.asarray(th)
+        P = jnp.zeros_like(X)
+        AP = jnp.zeros_like(AX)
+
+        stages = []
+        if use32:
+            stages.append((self._expand32, self._contract32, jnp.float32,
+                           max(tol, switch_tol), 1e-6,
+                           self._cast32(ctx)))
+        stages.append((self._expand64, self._contract64, jnp.float64,
+                       tol, 1e-12, ctx))
+
+        iters_done = 0
+        for si, (expand, contract, dt, stage_tol, drop_tol, sctx) in \
+                enumerate(stages):
+            if iters_done >= maxiter:
+                break
+            X, P = X.astype(dt), P.astype(dt)
+            if si > 0:
+                # entering f64 from f32: carried A-products hold f32
+                # error; recompute so the residuals are honest
+                AX, AP = self._mv64(X, ctx), self._mv64(P, ctx)
+            else:
+                AX, AP = AX.astype(dt), AP.astype(dt)
+            theta = theta.astype(dt)
+            while iters_done < maxiter:
+                Z, AZ, G_d, H_d, rn = expand(X, AX, P, AP, theta, sctx)
+                rn_h = np.asarray(jax.device_get(rn))
+                if np.max(rn_h[:k]) < stage_tol * scale:
+                    break
+                G = np.asarray(jax.device_get(G_d), dtype=np.float64)
+                H = np.asarray(jax.device_get(H_d), dtype=np.float64)
+                th, C = _host_rr(G, H, drop_tol)
+                nb = min(b, C.shape[1])
+                Cx = np.zeros((b, 3 * b))
+                Cx[:nb] = C[:, :nb].T
+                # P-direction: R/P components of the new X (classic
+                # three-term recurrence), normalized in the G-metric
+                Cp = Cx.copy()
+                Cp[:, :b] = 0.0
+                pn = np.sqrt(np.maximum(
+                    np.einsum("ij,jk,ik->i", Cp, G, Cp), 1e-300))
+                Cp = Cp / pn[:, None]
+                X, AX, P, AP = contract(
+                    Z, AZ, jnp.asarray(Cx, dtype=dt),
+                    jnp.asarray(Cp, dtype=dt))
+                theta = jnp.asarray(np.pad(
+                    th[:b], (0, max(0, b - th.shape[0])),
+                    constant_values=th[-1] if th.size else 0.0), dtype=dt)
+                iters_done += 1
+
+        # final f64 residual-backed bounds
+        X = X.astype(jnp.float64)
+        AX = self._mv64(X, ctx)
+        Gx = np.asarray(jax.device_get(X @ X.T))
+        Hx = np.asarray(jax.device_get(X @ AX.T))
+        th, Cd_h = self._host_pad_rr(Gx, Hx, b, 1e-12)
+        Cd = jnp.asarray(Cd_h)
+        X = Cd @ X
+        AX = Cd @ AX
+        theta_f = jnp.asarray(th)
+        Rf = AX - theta_f[:, None] * X
+        resid = jnp.sqrt(jnp.sum(Rf * Rf, axis=1))
+        s_lower = theta_f - resid
+
+        return CertResult(
+            lam_min=s_lower[0], lam_max=jnp.asarray(hi),
+            num_neg=jnp.sum(theta_f < 0),
+            neg_vecs=X[:k].T,                # (n, k) — caller contract
+            neg_vals=theta_f[:k])
+
+    # -- helpers -----------------------------------------------------------
+    @staticmethod
+    def _host_pad_rr(G, H, b, drop_tol):
+        """RR + pad coefficients/values back to the full block size."""
+        th, C = _host_rr(G, H, drop_tol)
+        nb = min(b, C.shape[1])
+        Cd = np.zeros((b, b))
+        Cd[:nb] = C[:, :nb].T
+        th_p = np.pad(th[:nb], (0, b - nb),
+                      constant_values=th[-1] if th.size else 0.0)
+        return th_p, Cd
+
+    def _lanczos_run(self, ctx, key, iters: int = 32):
+        n = self.n
+        mv = self._mv64
+
+        @jax.jit
+        def run(ctx, key):
+            v = jax.random.normal(key, (1, n), dtype=jnp.float64)
+            v = v / jnp.linalg.norm(v)
+
+            def body(carry, _):
+                v_prev, v_cur, beta = carry
+                w = mv(v_cur, ctx) - beta * v_prev
+                alpha = jnp.vdot(v_cur, w)
+                w = w - alpha * v_cur
+                beta_new = jnp.linalg.norm(w)
+                v_next = w / jnp.maximum(beta_new, 1e-300)
+                return (v_cur, v_next, beta_new), (alpha, beta_new)
+
+            (_, _, _), (alphas, betas) = jax.lax.scan(
+                body, (jnp.zeros_like(v), v, jnp.float64(0.0)), None,
+                length=iters)
+            alphas = alphas.reshape(-1)
+            betas = betas.reshape(-1)[:-1]
+            T = jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1)
+            ritz = jnp.linalg.eigvalsh(T)
+            slack = jnp.abs(betas[-1])
+            return ritz[0] - slack, ritz[-1] + slack
+
+        if not hasattr(self, "_lanczos_jit"):
+            self._lanczos_jit = run
+        lo, hi = self._lanczos_jit(ctx, key)
+        return float(lo), float(hi)
+
+
+def lobpcg_rows(matvec_rows: Callable, n: int, k: int, key,
+                maxiter: int = 200, tol: float = 1e-9,
+                deflate=None, X0=None,
+                matvec32: Optional[Callable] = None,
+                switch_tol: float = 1e-5) -> CertResult:
+    """One-shot functional wrapper (tests / ad-hoc use): matvecs take
+    no ctx."""
+    solver = RowCertSolver(
+        lambda V, _: matvec_rows(V), n,
+        (lambda V, _: matvec32(V)) if matvec32 is not None else None)
+    return solver.solve((), key, k, X0=X0, deflate=deflate,
+                        maxiter=maxiter, tol=tol, switch_tol=switch_tol)

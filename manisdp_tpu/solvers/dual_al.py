@@ -243,42 +243,76 @@ def solve_dual_al(variant_name: str, op: DualOp,
     # would otherwise shadow this before the jitted closures trace,
     # silently gating the f32 LOBPCG pre-stage on inner_dtype
     # (ADVICE r2, high).
-    cert32 = opt.cert_pre_dtype == "float32"
+    if opt.cert_method == "rowrr":
+        # row-layout LOBPCG + host Rayleigh-Ritz (ops/eigs_rr.py); the
+        # primal-recovery matrix Xp is dense, so the row matvec is one
+        # MXU matmul V @ Xp (Xp symmetric).
+        from ..ops.eigs_rr import RowCertSolver
+        cert32 = opt.cert_pre_dtype in ("float32", "auto")
+        mvr = lambda V, Xp: V @ Xp
+        rr_solver = RowCertSolver(mvr, n, mvr if cert32 else None)
+        cert_warm = {"X0": None}
 
-    def _lob(maxiter):
-        @jax.jit
-        def f(Xp, key, X0):
-            matvec32 = None
-            if cert32:
-                Xp32 = Xp.astype(jnp.float32)
-                matvec32 = lambda V: Xp32 @ V
-            return lobpcg_certificate(lambda V: Xp @ V, n, k_cert, key,
-                                      X0=X0, maxiter=maxiter,
-                                      matvec32=matvec32,
-                                      refine_iters=opt.lobpcg_refine)
-        return f
+        def lob_cert(Xp, key, gap, pinf):
+            X0 = cert_warm["X0"]
+            if X0 is None:
+                res = rr_solver.solve(Xp, key, k_cert,
+                                      maxiter=opt.lobpcg_maxiter,
+                                      tol=1e-10)
+            else:
+                res = rr_solver.solve(Xp, key, k_cert, X0=X0,
+                                      maxiter=opt.lobpcg_maxiter_warm,
+                                      tol=1e-10)
+                lam_max = abs(float(res.lam_max))
+                cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
+                optm = max(0.0, -float(res.neg_vals[0])) / (1.0 + lam_max)
+                if (cons >= opt.tol and optm < opt.tol and
+                        gap < opt.tol and pinf < opt.tol):
+                    # accuracy decides convergence -> full budget
+                    res = rr_solver.solve(Xp, key, k_cert,
+                                          X0=res.neg_vecs,
+                                          maxiter=opt.lobpcg_maxiter,
+                                          tol=1e-10)
+            cert_warm["X0"] = res.neg_vecs
+            return res
+    else:
+        cert32 = opt.cert_pre_dtype == "float32"
 
-    lob_full = _lob(opt.lobpcg_maxiter)
-    lob_warm = _lob(opt.lobpcg_maxiter_warm)
-    cert_warm = {"X0": None}
+        def _lob(maxiter):
+            @jax.jit
+            def f(Xp, key, X0):
+                matvec32 = None
+                if cert32:
+                    Xp32 = Xp.astype(jnp.float32)
+                    matvec32 = lambda V: Xp32 @ V
+                return lobpcg_certificate(lambda V: Xp @ V, n, k_cert,
+                                          key, X0=X0, maxiter=maxiter,
+                                          matvec32=matvec32,
+                                          refine_iters=opt.lobpcg_refine)
+            return f
 
-    def lob_cert(Xp, key, gap, pinf):
-        X0 = cert_warm["X0"]
-        if X0 is None:
-            X0 = jax.random.normal(
-                jax.random.fold_in(key, 1), (n, k_cert), dtype=jnp.float64)
-            res = lob_full(Xp, key, X0)
-        else:
-            res = lob_warm(Xp, key, X0)
-            lam_max = abs(float(res.lam_max))
-            cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
-            optm = max(0.0, -float(res.neg_vals[0])) / (1.0 + lam_max)
-            if (cons >= opt.tol and optm < opt.tol and
-                    gap < opt.tol and pinf < opt.tol):
-                # accuracy decides convergence -> pay the full budget
-                res = lob_full(Xp, key, res.neg_vecs)
-        cert_warm["X0"] = res.neg_vecs
-        return res
+        lob_full = _lob(opt.lobpcg_maxiter)
+        lob_warm = _lob(opt.lobpcg_maxiter_warm)
+        cert_warm = {"X0": None}
+
+        def lob_cert(Xp, key, gap, pinf):
+            X0 = cert_warm["X0"]
+            if X0 is None:
+                X0 = jax.random.normal(
+                    jax.random.fold_in(key, 1), (n, k_cert),
+                    dtype=jnp.float64)
+                res = lob_full(Xp, key, X0)
+            else:
+                res = lob_warm(Xp, key, X0)
+                lam_max = abs(float(res.lam_max))
+                cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
+                optm = max(0.0, -float(res.neg_vals[0])) / (1.0 + lam_max)
+                if (cons >= opt.tol and optm < opt.tol and
+                        gap < opt.tol and pinf < opt.tol):
+                    # accuracy decides convergence -> pay the full budget
+                    res = lob_full(Xp, key, res.neg_vecs)
+            cert_warm["X0"] = res.neg_vecs
+            return res
 
     rank = RankController(opt.theta, opt.delta, opt.alpha,
                           nne_floor=variant.nne_floor, bucket=opt.p_bucket)

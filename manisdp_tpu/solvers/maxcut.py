@@ -120,6 +120,48 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
             z = C.quad_cols(Y)
         return z, jnp.sum(z)
 
+    if opt.cert_method == "rowrr" and not use_eigh:
+        # row-layout LOBPCG + host Rayleigh-Ritz (see ops/eigs_rr.py);
+        # S = C - diag(z), applied as rows:  V @ C - V .* z
+        from ..ops.eigs_rr import RowCertSolver
+        cert32 = opt.cert_pre_dtype in ("float32", "auto")
+
+        def mvr(V, ctx):
+            CV = V @ ctx["C"] if dense else ctx["C"].matmat(V)
+            return CV - ctx["z"][None, :] * V
+
+        solver = RowCertSolver(mvr, n, mvr if cert32 else None)
+        warm = {"X0": None}
+
+        def cert(Y, C, key):
+            z, obj = z_obj(Y, C)
+            ctx = dict(C=C, z=z)
+            X0 = warm["X0"]
+            if X0 is None:
+                res = solver.solve(ctx, key, k, deflate=Y,
+                                   maxiter=opt.lobpcg_maxiter, tol=1e-10)
+            else:
+                res = solver.solve(ctx, key, k, X0=X0, deflate=Y,
+                                   maxiter=opt.lobpcg_maxiter_warm,
+                                   tol=1e-10)
+                lam_max = float(res.lam_max)
+                cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
+                optm = max(0.0, -float(res.neg_vals[0])) / (1.0 + lam_max)
+                if cons >= opt.tol and optm < opt.tol:
+                    res = solver.solve(ctx, key, k, X0=res.neg_vecs,
+                                       deflate=Y,
+                                       maxiter=opt.lobpcg_maxiter,
+                                       tol=1e-10)
+            warm["X0"] = res.neg_vecs
+            lam_min = float(res.lam_min)
+            lam_max = float(res.lam_max)
+            dinf = max(0.0, -lam_min) / (1.0 + lam_max)
+            return (z, float(obj), dinf, int(res.num_neg),
+                    np.asarray(jax.device_get(res.neg_vecs)),
+                    np.asarray(jax.device_get(res.neg_vals)))
+
+        return cert
+
     use32 = opt.cert_pre_dtype == "float32"
 
     def _lob(maxiter):

@@ -175,6 +175,54 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
 
         return cert
 
+    if opt.cert_method == "rowrr" and wrap is jax.jit:
+        # Row-layout LOBPCG with host Rayleigh-Ritz (ops/eigs_rr.py):
+        # the certificate's blocks stay (rows, n) like the tCG hot
+        # loop — the (n, k) layout of lobpcg_standard is ~100x slower
+        # per matvec on this TPU runtime (prof_cert2/prof_cert3).
+        # Sharded operators keep the legacy path (their matvecs psum
+        # under shard_map, incompatible with the plain-jit solver).
+        from ..ops.eigs_rr import RowCertSolver
+        cert32 = opt.cert_pre_dtype in ("float32", "auto")
+
+        def mvr(V, ctx):
+            SV = ctx["op"].matmat_pattern(V, ctx["sv"])
+            if variant.shift == "diag":
+                SV = SV - ctx["z"][None, :] * V
+            elif variant.shift == "trace":
+                SV = SV - ctx["z"] * V
+            return SV
+
+        solver = RowCertSolver(mvr, n, mvr if cert32 else None)
+        warm = {"X0": None}
+
+        def cert(Y, op, sv, z, key):
+            ctx = dict(op=op, sv=sv, z=z)
+            X0 = warm["X0"]
+            if X0 is None:
+                res = solver.solve(ctx, key, k, deflate=Y,
+                                   maxiter=opt.lobpcg_maxiter, tol=1e-10)
+            else:
+                res = solver.solve(ctx, key, k, X0=X0, deflate=Y,
+                                   maxiter=opt.lobpcg_maxiter_warm,
+                                   tol=1e-10)
+                lam_max = float(res.lam_max)
+                cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
+                optm = max(0.0, -float(res.neg_vals[0])) / (1.0 + lam_max)
+                if cons >= opt.tol and optm < opt.tol:
+                    # accuracy decides convergence -> full budget
+                    res = solver.solve(ctx, key, k, X0=res.neg_vecs,
+                                       deflate=Y,
+                                       maxiter=opt.lobpcg_maxiter,
+                                       tol=1e-10)
+            warm["X0"] = res.neg_vecs
+            return (float(res.lam_min), float(res.lam_max),
+                    int(res.num_neg),
+                    np.asarray(jax.device_get(res.neg_vecs)),
+                    np.asarray(jax.device_get(res.neg_vals)), None)
+
+        return cert
+
     use32 = opt.cert_pre_dtype == "float32"
 
     def _lob(maxiter):
