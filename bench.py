@@ -1,20 +1,33 @@
 #!/usr/bin/env python
 """Benchmark harness: per-workload JSON lines + one final summary line.
 
-Workloads (BENCH_SET=full, the default):
+Workloads (BENCH_SET=full, the default), fastest-first so a budget
+truncation still records most rows (VERDICT r2 item 2):
+
   - maxcut_G1   : Gset G1 (n=800) wall-clock to KKT<=1e-8.  Baseline 3.0 s
                   (Wang-Hu, J. Sci. Comput. 2025 Gset table, desktop CPU).
-  - maxcut_G67  : Gset G67 (n=10000).  No published MATLAB number; the
-                  baseline 1500 s is an ESTIMATE from the per-outer-iteration
-                  full eig(S) at n=10^4 (ManiSDP_onlyunitdiag.m:50).
-  - mc_n2000    : trace-min matrix completion p=2000 (example_matrixcompletion.m);
-                  MEASURED reference 9.05-10.8 s (data/results.txt:2) -> 9.05 s.
+  - mc_n2000 / mc_n4000 : trace-min matrix completion
+                  (example_matrixcompletion.m builds X of size n = p + q
+                  with p = q; data/results.txt's "n" is p + q).  MEASURED
+                  references: n=2000 -> 9.05 s (results.txt:2), n=4000
+                  -> 48.7 s (results.txt:4).  NOTE round 2 labeled the
+                  n=4000 instance "mc_n2000" and scored it against the
+                  9.05 s row — a 5x mislabel against ourselves, fixed
+                  here.
+  - maxcut_G67  : Gset G67 (n=10000).  No published MATLAB number; baseline
+                  240 s is a measured LOWER BOUND (per-outer-iteration full
+                  eig(S) at n=10^4, ManiSDP_onlyunitdiag.m:50 — see
+                  BASELINE.md "G67 derivation" for the arithmetic).
   - bqp60_dual  : SOS dual of BQP q=60, instance 1 (example_bqp_dual.m);
                   MEASURED reference 134 s (data/dual.txt:16).
 
-BENCH_SET=g1 runs only G1 (the round-1 configuration).
-Each workload runs twice (compile warm-up, then timed) and prints one
-JSON line; the LAST line is the summary with the geometric-mean speedup.
+Each workload runs ONCE, timed (the persistent XLA compile cache at
+~/.cache/jax_manisdp makes second-process runs warm; cold-cache runs
+pay remote compiles inside the timing, as the reference pays MATLAB JIT).
+BENCH_BUDGET_S (default 3300) bounds the suite: a workload whose
+estimated cost exceeds the remaining budget is SKIPPED with an explicit
+JSON row instead of silently truncating the suite (rc=124 lost all but
+one row in round 2).  BENCH_SET=g1 runs only G1.
 """
 
 import json
@@ -25,6 +38,8 @@ import time
 GSET = os.environ.get("BENCH_GSET_DIR", "/root/reference/data/Gset")
 DATA = os.environ.get("BENCH_DATA_DIR", "/root/reference/data")
 BENCH_SET = os.environ.get("BENCH_SET", "full")
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "3300"))
+T0 = time.time()
 
 
 def _emit(metric, seconds, baseline, res, measured_baseline, extra=None):
@@ -54,7 +69,6 @@ def bench_maxcut(graph, baseline, measured):
     from manisdp_tpu import solve_maxcut_unitdiag
     from manisdp_tpu.frontends.gset import maxcut_cost
     C = maxcut_cost(os.path.join(GSET, f"{graph}.txt"))
-    solve_maxcut_unitdiag(C, p0=40, verbose=False)        # warm-up
     t0 = time.time()
     res = solve_maxcut_unitdiag(C, p0=40, verbose=False)
     dt = time.time() - t0
@@ -63,7 +77,9 @@ def bench_maxcut(graph, baseline, measured):
                  extra={"rtr_iters_per_s": round(res.rtr_iters / dt, 2)})
 
 
-def bench_mc(p=2000, baseline=9.05):
+def bench_mc(p=1000, baseline=9.05):
+    """p = q = half the SDP size; reference construction exactly
+    (rank 10, m = 400 * (p + q) entry samples, seed 3)."""
     from manisdp_tpu import solve_sdp
     from manisdp_tpu.frontends.workloads import matrix_completion
     from manisdp_tpu.recipes import recipe
@@ -72,11 +88,11 @@ def bench_mc(p=2000, baseline=9.05):
     _, kw = recipe("mc")
     kw = dict(kw, delta=10, tr_maxinner=6, tr_maxiter=8, theta=1e-2,
               inner_dtype="tcg32")
-    solve_sdp(data.At, data.b, data.c, data.K.s, verbose=False, **kw)
     t0 = time.time()
     res = solve_sdp(data.At, data.b, data.c, data.K.s, verbose=False, **kw)
     dt = time.time() - t0
-    return _emit(f"mc_n{p}_wallclock_to_kkt1e-8", dt, baseline, res, True)
+    return _emit(f"mc_n{2 * p}_wallclock_to_kkt1e-8", dt, baseline, res,
+                 True)
 
 
 def bench_bqp60_dual(baseline=134.0):
@@ -90,7 +106,6 @@ def bench_bqp60_dual(baseline=134.0):
     maxb = np.max(np.abs(b))
     kw = dict(f=f, dAAt=dAAt, line_search=True, verbose=False,
               inner_dtype="tcg32", p_bucket=16)
-    solve_dual_unitdiag(A, b / maxb, c, mb, **kw)          # warm-up
     t0 = time.time()
     res = solve_dual_unitdiag(A, b / maxb, c, mb, **kw)
     dt = time.time() - t0
@@ -101,23 +116,31 @@ def bench_bqp60_dual(baseline=134.0):
 def main():
     rows = []
 
-    def run(fn, *args):
-        # one workload's failure (e.g. a remote-compiler crash) must
-        # not lose the other rows
+    def run(fn, est_s, *args):
+        """One workload; isolate failures AND honor the budget."""
+        left = BUDGET_S - (time.time() - T0)
+        if est_s > left:
+            print(json.dumps({
+                "metric": f"{fn.__name__}_SKIPPED",
+                "reason": f"estimated {est_s:.0f}s exceeds remaining "
+                          f"budget {left:.0f}s (BENCH_BUDGET_S={BUDGET_S:.0f})",
+            }), flush=True)
+            return
         try:
             rows.append(fn(*args))
         except Exception as e:          # pragma: no cover
             print(json.dumps({"metric": f"{fn.__name__}_FAILED",
                               "error": repr(e)[:200]}), flush=True)
 
+    # (estimated seconds incl. problem generation, warm compile cache)
     if BENCH_SET == "g1":
-        run(bench_maxcut, "G1", 3.0, False)
+        run(bench_maxcut, 30, "G1", 3.0, False)
     else:
-        run(bench_maxcut, "G1", 3.0, False)
-        run(bench_maxcut, "G67", 1500.0, False)
-        run(bench_mc)
-        if BENCH_SET == "full+bqp":
-            run(bench_bqp60_dual)
+        run(bench_maxcut, 30, "G1", 3.0, False)
+        run(bench_mc, 60, 1000, 9.05)
+        run(bench_mc, 150, 2000, 48.7)
+        run(bench_maxcut, 200, "G67", 240.0, False)
+        run(bench_bqp60_dual, 700)
     if not rows:
         print(json.dumps({"metric": "bench_failed", "value": 0.0,
                           "unit": "x", "vs_baseline": 0.0}))

@@ -61,9 +61,20 @@ class PhaseTimers:
 
     def __init__(self):
         self.t = {}
+        self._snap = {}
 
     def add(self, phase: str, dt: float):
         self.t[phase] = self.t.get(phase, 0.0) + dt
+
+    def log_delta(self, verbose):
+        """verbose == 2: print per-phase seconds since the last call
+        (per-iteration profile; drivers call this after log_iter)."""
+        if verbose != 2:
+            return
+        d = {k: v - self._snap.get(k, 0.0) for k, v in self.t.items()}
+        self._snap = dict(self.t)
+        print("  phases: " + ", ".join(f"{k}:{v:.2f}s"
+                                       for k, v in d.items()), flush=True)
 
     def timed(self, phase: str):
         timers = self

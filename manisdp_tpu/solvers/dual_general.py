@@ -38,9 +38,21 @@ def solve_dual_sdp(A, b, c, n: int, f: int = 0,
                    dAAt=None,
                    options: Optional[SolverOptions] = None,
                    Y0: Optional[np.ndarray] = None,
+                   resume: Optional[str] = None,
                    **overrides) -> SDPResult:
-    """SeDuMi dual layout: A (m, f + n^2) sparse, free block first."""
+    """SeDuMi dual layout: A (m, f + n^2) sparse, free block first.
+
+    ``resume``: path of a checkpoint_every snapshot; loads the factor,
+    multipliers (Xm, w) and penalty and continues that trajectory."""
+    kw = {}
+    if resume:
+        from ..utils.checkpoint import resume_kwargs
+        rk = resume_kwargs(resume)
+        Y0 = rk.get("Y0", Y0)
+        kw = {k: rk[k] for k in ("Xm0", "w0") if k in rk}
+        if "sigma0" in rk:
+            overrides.setdefault("sigma0", rk["sigma0"])
     op = A if isinstance(A, DualOp) else DualOp.build(A, b, c, n, f, dAAt)
     iAB = build_iab(A, n, f, dAAt) if not isinstance(A, DualOp) else None
     return solve_dual_al("dual_general", op, options, iAB=iAB, Y0=Y0,
-                         **overrides)
+                         **kw, **overrides)

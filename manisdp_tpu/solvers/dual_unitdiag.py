@@ -19,8 +19,21 @@ def solve_dual_unitdiag(A, b, c, n: int, f: int = 0,
                         dAAt=None,
                         options: Optional[SolverOptions] = None,
                         Y0: Optional[np.ndarray] = None,
+                        resume: Optional[str] = None,
                         **overrides) -> SDPResult:
     """SeDuMi dual layout: A (m, f + n^2) sparse with the free block
-    first (ManiDSDP_unitdiag.m:34-37), b (m,), c (f + n^2,)."""
+    first (ManiDSDP_unitdiag.m:34-37), b (m,), c (f + n^2,).
+
+    ``resume``: path of a checkpoint_every snapshot; loads the factor,
+    multipliers (Xm, w) and penalty and continues that trajectory."""
+    kw = {}
+    if resume:
+        from ..utils.checkpoint import resume_kwargs
+        rk = resume_kwargs(resume)
+        Y0 = rk.get("Y0", Y0)
+        kw = {k: rk[k] for k in ("Xm0", "w0") if k in rk}
+        if "sigma0" in rk:
+            overrides.setdefault("sigma0", rk["sigma0"])
     op = A if isinstance(A, DualOp) else DualOp.build(A, b, c, n, f, dAAt)
-    return solve_dual_al("dual_unitdiag", op, options, Y0=Y0, **overrides)
+    return solve_dual_al("dual_unitdiag", op, options, Y0=Y0, **kw,
+                         **overrides)

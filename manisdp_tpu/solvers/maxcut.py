@@ -227,11 +227,17 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
 
 def solve_maxcut_unitdiag(C, options: Optional[SolverOptions] = None,
                           Y0: Optional[np.ndarray] = None,
+                          resume: Optional[str] = None,
                           **overrides) -> SDPResult:
     """Solve min <C,X> s.t. diag(X)=1, X>=0 via Burer-Monteiro RTR.
 
     ``C`` may be a scipy sparse matrix, dense array, or SymCOO.
+    ``resume``: path of a checkpoint_every snapshot (this driver's
+    outer state is just the factor Y — there are no multipliers).
     """
+    if resume:
+        from ..utils.checkpoint import resume_kwargs
+        Y0 = resume_kwargs(resume).get("Y0", Y0)
     opt = merged_options("maxcut_unitdiag", options, **overrides)
     if not isinstance(C, SymCOO):
         import scipy.sparse as sp
@@ -332,6 +338,7 @@ def solve_maxcut_unitdiag(C, options: Optional[SolverOptions] = None,
         log_iter(opt.verbose, it, obj, dinf=dinf, r=r, p=p, t0=t0)
         history.append(dict(iter=it, obj=obj, dinf=dinf, r=r, p=p,
                             gradnorm=gradnorm))
+        timers.log_delta(opt.verbose)
         if dinf < opt.tol:
             if opt.verbose:
                 print("Optimality is reached!", flush=True)
@@ -372,6 +379,11 @@ def solve_maxcut_unitdiag(C, options: Optional[SolverOptions] = None,
         p_pad = max(p_pad, bucketed(p, opt.p_bucket))
         Y = jnp.asarray(pad_rows(Y_host, p_pad))
         U_dir = pad_rows(U_host, p_pad) if U_host is not None else None
+
+        if opt.checkpoint_every and opt.checkpoint_path and \
+                it % opt.checkpoint_every == 0:
+            from ..utils.checkpoint import save_state
+            save_state(opt.checkpoint_path, Y=Y_host[:p], iteration=it)
 
     else:
         it = opt.max_outer

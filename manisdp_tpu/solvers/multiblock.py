@@ -70,8 +70,24 @@ def _make_problem(M: MaskedProduct):
 
 def solve_multiblock(At, b, c, ns: Sequence[int], nob: int,
                      options: Optional[SolverOptions] = None,
+                     Y0: Optional[np.ndarray] = None,
+                     y0: Optional[np.ndarray] = None,
+                     ps0: Optional[Sequence[int]] = None,
+                     resume: Optional[str] = None,
                      **overrides) -> SDPResult:
-    """SeDuMi multiblock input: At (sum n_i^2, m), K.s = ns, K.nob = nob."""
+    """SeDuMi multiblock input: At (sum n_i^2, m), K.s = ns, K.nob = nob.
+
+    ``Y0``/``y0``/``ps0`` warm-start the flat factor, multipliers and
+    per-block ranks; ``resume`` loads all of them (plus sigma) from a
+    checkpoint_every snapshot."""
+    if resume:
+        from ..utils.checkpoint import resume_kwargs
+        rk = resume_kwargs(resume)
+        Y0 = rk.get("Y0", Y0)
+        y0 = rk.get("y0", y0)
+        ps0 = rk.get("ps0", ps0)
+        if "sigma0" in rk:
+            overrides.setdefault("sigma0", rk["sigma0"])
     opt = merged_options("multiblock", options, **overrides)
     ns = [int(x) for x in ns]
     nb = len(ns)
@@ -159,23 +175,31 @@ def solve_multiblock(At, b, c, ns: Sequence[int], nob: int,
     p0 = opt.p0 if np.ndim(opt.p0) else [int(opt.p0)] * nb
     ps: List[int] = [ns[i] if ns[i] < opt.min_facsize else int(p0[i])
                      for i in range(nb)]
+    if ps0 is not None:
+        ps = [int(x) for x in ps0]
     p_pad = bucketed(max(ps), opt.p_bucket)
 
     key = jax.random.PRNGKey(opt.seed)
     key, sub = jax.random.split(key)
-    Y_host = np.zeros((p_pad, N))
-    rnd = np.asarray(jax.device_get(
-        jax.random.normal(sub, (p_pad, N), dtype=jnp.float64)))
-    for bidx in range(nb):
-        sl = slice(off[bidx], off[bidx + 1])
-        Yb = rnd[:ps[bidx], sl]
-        if bidx < nob:
-            Yb = Yb / np.sqrt(np.sum(Yb ** 2, axis=0))
-        Y_host[:ps[bidx], sl] = Yb
+    if Y0 is not None:
+        Y0 = np.asarray(Y0, dtype=np.float64)
+        p_pad = max(p_pad, bucketed(Y0.shape[0], opt.p_bucket))
+        Y_host = pad_rows(Y0, p_pad)
+    else:
+        Y_host = np.zeros((p_pad, N))
+        rnd = np.asarray(jax.device_get(
+            jax.random.normal(sub, (p_pad, N), dtype=jnp.float64)))
+        for bidx in range(nb):
+            sl = slice(off[bidx], off[bidx + 1])
+            Yb = rnd[:ps[bidx], sl]
+            if bidx < nob:
+                Yb = Yb / np.sqrt(np.sum(Yb ** 2, axis=0))
+            Y_host[:ps[bidx], sl] = Yb
     Y = jnp.asarray(Y_host)
     U_dir = None
 
-    y = jnp.zeros(m)
+    y = jnp.zeros(m) if y0 is None else jnp.asarray(
+        np.asarray(y0, dtype=np.float64).ravel())
     sigma = opt.sigma0
     slow = SlowProgress(50, 100)
     status = 0
@@ -319,6 +343,16 @@ def solve_multiblock(At, b, c, ns: Sequence[int], nob: int,
                     tier = 1
             else:
                 frozen = 0
+
+        # checkpoint AFTER the sigma update so resume continues the
+        # exact trajectory (see primal_al.py)
+        if opt.checkpoint_every and opt.checkpoint_path and \
+                it % opt.checkpoint_every == 0:
+            from ..utils.checkpoint import save_state
+            save_state(opt.checkpoint_path, Y=Y_host[:p_act],
+                       y=np.asarray(jax.device_get(y)), sigma=sigma,
+                       tier=tier, iteration=it,
+                       extra=dict(ps=np.asarray(ps)))
     else:
         it = opt.max_outer
 

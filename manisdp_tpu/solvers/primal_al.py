@@ -494,6 +494,7 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
                  gradnorm=gradnorm, r=r, p=p, sigma=sigma, t0=t0)
         history.append(dict(iter=it, obj=obj, gap=gap, pinf=pinf, dinf=dinf,
                             gradnorm=gradnorm, r=r, p=p, sigma=sigma))
+        timers.log_delta(opt.verbose)
         eta = max(gap, pinf, dinf)
         if eta < opt.tol:
             if opt.verbose:

@@ -40,3 +40,28 @@ def save_state(path: str, *, Y, y=None, w=None, Xm=None, sigma=None,
 def load_state(path: str) -> Dict[str, Any]:
     with np.load(path) as z:
         return {k: z[k] for k in z.files}
+
+
+def resume_kwargs(path: str) -> Dict[str, Any]:
+    """Map a snapshot to the matching driver keyword arguments, so the
+    public entry points can offer ``resume=path`` directly:
+
+        solve_sdp(At, b, c, n, resume="ckpt.npz")
+
+    Fields not present in the snapshot are simply omitted (e.g. the
+    maxcut driver checkpoints only the factor)."""
+    st = load_state(path)
+    kw: Dict[str, Any] = {}
+    if "Y" in st:
+        kw["Y0"] = st["Y"]
+    if "y" in st:
+        kw["y0"] = st["y"]
+    if "w" in st:
+        kw["w0"] = st["w"]
+    if "Xm" in st:
+        kw["Xm0"] = st["Xm"]
+    if "sigma" in st:
+        kw["sigma0"] = float(st["sigma"])
+    if "extra_ps" in st:
+        kw["ps0"] = np.asarray(st["extra_ps"]).tolist()
+    return kw
