@@ -44,6 +44,7 @@ from .solvers.batch import solve_maxcut_batch  # noqa: E402
 from .solvers.unitdiag import solve_unitdiag  # noqa: E402
 from .solvers.unittrace import solve_unittrace  # noqa: E402
 from .solvers.general import solve_sdp  # noqa: E402
+from .solvers.dispatch import solve_sedumi  # noqa: E402
 from .solvers.dual_unitdiag import solve_dual_unitdiag  # noqa: E402
 from .solvers.dual_general import solve_dual_sdp  # noqa: E402
 from .frontends.gset import load_gset_laplacian  # noqa: E402
@@ -55,6 +56,7 @@ __all__ = [
     "solve_maxcut_unitdiag",
     "solve_maxcut_batch",
     "solve_unitdiag",
+    "solve_sedumi",
     "solve_unittrace",
     "solve_sdp",
     "solve_dual_unitdiag",

@@ -62,8 +62,18 @@ RECIPES = {
         sigma0=1e5, sigma_max=1e8, line_search=True)),
     # SDPLIB theta-class instances through the general driver (theta1,
     # theta2, ...): the default tiny TR budget stalls around 1e-5;
-    # a moderately larger budget converges (measured on theta1).
+    # a moderately larger budget converges (measured on theta1).  For
+    # theta2+ the big-sigma variant below converges in ~30 iterations.
     "theta_sdplib": ("general", dict(tr_maxiter=8, tr_maxinner=40)),
+    "theta_sdplib_big": ("general", dict(
+        tr_maxiter=10, tr_maxinner=60, sigma0=1e2, tau1=1e-3, tau2=1e-2)),
+    # SDPLIB truss topology (LP cone + many small PSD blocks, solved
+    # through solvers/dispatch.solve_sedumi's K.l folding — a class the
+    # reference drivers cannot run): general-style sigma schedule with
+    # a solid TR budget (measured truss1/3/4 converge < 60 iterations)
+    "sdplib_truss": ("multiblock", dict(
+        tr_maxiter=20, tr_maxinner=80, sigma0=1.0, sigma_min=1e-1,
+        tau1=1e-2, tau2=1e-1)),
     # Gset MaxCut (example_maxcut.m:32)
     "maxcut": ("maxcut_unitdiag", dict(p0=40)),
 }

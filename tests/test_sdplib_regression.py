@@ -1,11 +1,15 @@
 """SDPLIB certified-optimum regression (data/sdplib/README:26-120).
 
 The reference treats the SDPLIB table of certified optima as its
-ground-truth oracle (SURVEY §4.4).  These instances exercise the
-general (Euclidean) driver on three different problem classes: Lovász
-theta (theta1), graph partitioning (gpp100) and MaxCut (mcp250-1).
+ground-truth oracle (SURVEY §4.4).  Round 3 widens the table from 3 to
+13 instances across five problem classes — Lovász theta (theta1-3),
+MaxCut (mcp*), graph partitioning (gpp*) and truss topology (truss*,
+which carry an LP cone + multiple small PSD blocks and exercise the
+K.l folding in solvers/dispatch.py that the REFERENCE drivers cannot
+run at all) — with theta1 certified at the full 1e-8 contract.
+
 Note fromsdpa negates the objective (max -> min), so our optimum is
-the negative of the README value for max-form instances.
+the negative of the README value.
 """
 
 import os
@@ -13,7 +17,7 @@ import os
 import numpy as np
 import pytest
 
-from manisdp_tpu import solve_sdp
+from manisdp_tpu import solve_sedumi
 from manisdp_tpu.frontends.sdpa import read_sdpa
 
 SDPLIB = os.environ.get("MANISDP_SDPLIB_DIR",
@@ -24,18 +28,39 @@ pytestmark = pytest.mark.skipif(
     reason=f"SDPLIB data not found at {SDPLIB} "
            "(set MANISDP_SDPLIB_DIR)")
 
+# per-class recipes (CPU-sane budgets; measured in round 3)
+THETA = dict(tr_maxiter=8, tr_maxinner=40)
+THETA_BIG = dict(tr_maxiter=10, tr_maxinner=60, sigma0=1e2,
+                 tau1=1e-3, tau2=1e-2)
+TRUSS = dict(tr_maxiter=20, tr_maxinner=80, sigma0=1.0, sigma_min=1e-1,
+             tau1=1e-2, tau2=1e-1)
 
-@pytest.mark.parametrize("name,certified,sign,kw", [
-    ("gpp100", -4.49435e+01, -1.0, dict()),
-    ("mcp250-1", 3.172643e+02, -1.0, dict()),
-    # theta-class needs the endgame tuning (see recipes 'theta_sdplib')
-    ("theta1", 2.300000e+01, -1.0, dict(tr_maxiter=8, tr_maxinner=40)),
-])
-def test_sdplib_certified_optimum(name, certified, sign, kw):
+# (name, certified optimum from data/sdplib/README, tol, eta bound, kw)
+TABLE = [
+    ("theta1", 2.300000e+01, 1e-8, 1e-8, dict(THETA, max_outer=600)),
+    ("theta2", 3.287917e+01, 1e-6, 1e-5, THETA_BIG),
+    ("theta3", 4.216698e+01, 1e-6, 1e-5, THETA_BIG),
+    ("mcp100", 2.261574e+02, 1e-6, 1e-5, {}),
+    ("mcp124-1", 1.419905e+02, 1e-6, 1e-5, {}),
+    ("mcp250-1", 3.172643e+02, 1e-6, 1e-5, {}),
+    ("mcp500-1", 5.981485e+02, 1e-6, 1e-5, {}),
+    ("gpp100", -4.49435e+01, 1e-6, 1e-5, {}),
+    ("gpp124-1", -7.3431e+00, 1e-6, 1e-5, {}),
+    ("gpp250-1", -1.5445e+01, 1e-6, 1e-5, {}),
+    ("truss1", -8.999996e+00, 1e-6, 1e-5, TRUSS),
+    ("truss3", -9.109996e+00, 1e-6, 1e-5, TRUSS),
+    ("truss4", -9.009996e+00, 1e-6, 1e-5, TRUSS),
+]
+
+
+@pytest.mark.parametrize("name,certified,tol,eta_max,kw",
+                         TABLE, ids=[t[0] for t in TABLE])
+def test_sdplib_certified_optimum(name, certified, tol, eta_max, kw):
     d = read_sdpa(f"{SDPLIB}/{name}.dat-s")
-    res = solve_sdp(d.At, d.b, d.c, d.K.s[0], verbose=False, tol=1e-6,
-                    max_outer=300, **kw)
+    kw = dict(kw)
+    res = solve_sedumi(d, verbose=False, tol=tol,
+                       max_outer=kw.pop("max_outer", 300), **kw)
     assert res.status == 0, f"{name}: eta={res.eta:.2e}"
-    assert res.eta < 1e-5
-    rel = abs(sign * res.obj - certified) / (1.0 + abs(certified))
-    assert rel < 1e-4, f"{name}: obj={res.obj}, certified={certified}"
+    assert res.eta < eta_max
+    rel = abs(-res.obj - certified) / (1.0 + abs(certified))
+    assert rel < 1e-4, f"{name}: obj={-res.obj}, certified={certified}"
