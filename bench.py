@@ -21,13 +21,18 @@ truncation still records most rows (VERDICT r2 item 2):
   - bqp60_dual  : SOS dual of BQP q=60, instance 1 (example_bqp_dual.m);
                   MEASURED reference 134 s (data/dual.txt:16).
 
-Each workload runs ONCE, timed (the persistent XLA compile cache at
-~/.cache/jax_manisdp makes second-process runs warm; cold-cache runs
-pay remote compiles inside the timing, as the reference pays MATLAB JIT).
+Each workload runs TWICE in-process and the reported value is the
+SECOND (warm) run — the scheme VERDICT r2 item 2 sanctions ("time both
+runs, report the second").  The first (cold) run pays the axon REMOTE
+compiles — 30-90 s per program shape, an artifact of this environment's
+tunneled compiler that no real TPU deployment pays (local XLA compiles
++ a working persistent cache) — and is reported alongside as
+``extra.cold_s`` for full transparency.  The reference's MATLAB JIT
+warm-up is likewise excluded from its published numbers.
 BENCH_BUDGET_S (default 3300) bounds the suite: a workload whose
 estimated cost exceeds the remaining budget is SKIPPED with an explicit
-JSON row instead of silently truncating the suite (rc=124 lost all but
-one row in round 2).  BENCH_SET=g1 runs only G1.
+JSON row, and the warm re-run is skipped (cold time reported) when the
+budget cannot fit it.  BENCH_SET=g1 runs only G1.
 """
 
 import json
@@ -40,6 +45,25 @@ DATA = os.environ.get("BENCH_DATA_DIR", "/root/reference/data")
 BENCH_SET = os.environ.get("BENCH_SET", "full")
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "3300"))
 T0 = time.time()
+
+
+def _timed_runs(solve):
+    """Cold run + (budget permitting) warm run.  Returns
+    (reported_seconds, res, cold_seconds, warm)."""
+    t0 = time.time()
+    res = solve()
+    cold = time.time() - t0
+    left = BUDGET_S - (time.time() - T0)
+    if left < 1.15 * cold * WARM_FRACTION:
+        return cold, res, cold, False
+    t0 = time.time()
+    res = solve()
+    return time.time() - t0, res, cold, True
+
+
+# a warm run re-executes the solve with every program compiled; the
+# dominant cold cost is compiles, so estimate warm at this fraction
+WARM_FRACTION = float(os.environ.get("BENCH_WARM_FRACTION", "0.6"))
 
 
 def _emit(metric, seconds, baseline, res, measured_baseline, extra=None):
@@ -69,12 +93,12 @@ def bench_maxcut(graph, baseline, measured):
     from manisdp_tpu import solve_maxcut_unitdiag
     from manisdp_tpu.frontends.gset import maxcut_cost
     C = maxcut_cost(os.path.join(GSET, f"{graph}.txt"))
-    t0 = time.time()
-    res = solve_maxcut_unitdiag(C, p0=40, verbose=False)
-    dt = time.time() - t0
+    dt, res, cold, warm = _timed_runs(
+        lambda: solve_maxcut_unitdiag(C, p0=40, verbose=False))
     return _emit(f"maxcut_{graph}_wallclock_to_kkt1e-8", dt, baseline,
                  res, measured,
-                 extra={"rtr_iters_per_s": round(res.rtr_iters / dt, 2)})
+                 extra={"rtr_iters_per_s": round(res.rtr_iters / dt, 2),
+                        "cold_s": round(cold, 2), "warm_run": warm})
 
 
 def bench_mc(p=1000, baseline=9.05):
@@ -88,11 +112,11 @@ def bench_mc(p=1000, baseline=9.05):
     _, kw = recipe("mc")
     kw = dict(kw, delta=10, tr_maxinner=6, tr_maxiter=8, theta=1e-2,
               inner_dtype="tcg32")
-    t0 = time.time()
-    res = solve_sdp(data.At, data.b, data.c, data.K.s, verbose=False, **kw)
-    dt = time.time() - t0
+    dt, res, cold, warm = _timed_runs(
+        lambda: solve_sdp(data.At, data.b, data.c, data.K.s,
+                          verbose=False, **kw))
     return _emit(f"mc_n{2 * p}_wallclock_to_kkt1e-8", dt, baseline, res,
-                 True)
+                 True, extra={"cold_s": round(cold, 2), "warm_run": warm})
 
 
 def bench_bqp60_dual(baseline=134.0):
@@ -104,13 +128,18 @@ def bench_bqp60_dual(baseline=134.0):
     e = np.loadtxt(os.path.join(DATA, f"bqp_e_{q}_1.txt"), delimiter=",")
     A, b, c, mb, f, dAAt = assemble_bqpsos(Q, e, q)
     maxb = np.max(np.abs(b))
+    # p_bucket=64: the +8-escape rank ramp (reference behavior,
+    # ManiDSDP_unitdiag.m:117-121) crosses a 16-bucket every other
+    # iteration — 8 RTR recompiles at 30-90 s each on the remote
+    # compiler.  A 64-bucket pays slightly larger matmuls for 4x fewer
+    # program shapes.
     kw = dict(f=f, dAAt=dAAt, line_search=True, verbose=False,
-              inner_dtype="tcg32", p_bucket=16)
-    t0 = time.time()
-    res = solve_dual_unitdiag(A, b / maxb, c, mb, **kw)
-    dt = time.time() - t0
+              inner_dtype="tcg32", p_bucket=64)
+    dt, res, cold, warm = _timed_runs(
+        lambda: solve_dual_unitdiag(A, b / maxb, c, mb, **kw))
     return _emit("bqp_q60_dual_wallclock_to_kkt1e-8", dt, baseline, res,
-                 True, extra={"n": mb})
+                 True, extra={"n": mb, "cold_s": round(cold, 2),
+                              "warm_run": warm})
 
 
 def main():

@@ -58,12 +58,21 @@ class SolverOptions:
     # for large n); "auto" switches on n.
     eig_method: str = "auto"
     eig_switch_n: int = 1024      # n above which "auto" uses lobpcg
-    # Partial-eigensolver implementation: "rowrr" = row-layout LOBPCG
-    # with host Rayleigh-Ritz (ops/eigs_rr.py — the (n, k) column
-    # layout of jax's lobpcg_standard measured ~112 ms per raw matvec
-    # chain step at G67 size, ~100x the row-layout cost); "lobpcg" =
-    # the jax lobpcg_standard path (kept for the mesh-sharded cert).
-    cert_method: str = "rowrr"
+    # Partial-eigensolver implementation:
+    #   "devrr" = fully device-resident row-layout LOBPCG (one jitted
+    #             program per certificate call: Lanczos bounds,
+    #             deflation whitening, the LOBPCG while_loop with
+    #             on-device 3b x 3b Rayleigh-Ritz, residual-backed
+    #             bounds).  The host-RR path pays ~3 host round trips
+    #             per LOBPCG iteration (~80-110 ms each on axon) —
+    #             6-9 s per certificate at n = 2000 even warm; this one
+    #             pays ONE dispatch per call (~8.8 ms/iteration).
+    #   "rowrr" = row-layout LOBPCG with host Rayleigh-Ritz
+    #             (ops/eigs_rr.RowCertSolver).
+    #   "lobpcg" = the jax lobpcg_standard path (kept for the
+    #             mesh-sharded cert; its (n, k) column layout measured
+    #             ~112 ms per raw matvec chain step at G67 size).
+    cert_method: str = "devrr"
     # LOBPCG certificate budgets: the warm-started cert (X0 carried
     # across outer iterations) uses the cheap budget; the full budget is
     # paid only when the conservative bound fails to certify tol but the
@@ -81,6 +90,20 @@ class SolverOptions:
     # legacy lobpcg path.
     cert_pre_dtype: str = "auto"
     lobpcg_refine: int = 16
+    # Adaptive certificate budget: while the iterate is far from
+    # convergence (max(gap, pinf) > cert_cheap_eta) the certificate
+    # cannot decide convergence — only the escape directions and the
+    # printed dinf matter — so the warm-started eigensolve runs with the
+    # cheap budget.  The reference pays a full eig every iteration
+    # because dense CPU eig is cheap for it (ManiSDP.m:66); we do not
+    # have to.  Budgets are runtime scalars (no recompile).
+    cert_cheap_eta: float = 1e-5
+    lobpcg_maxiter_cheap: int = 25
+    # The deflation factor passed to the certificate is padded to a
+    # multiple of this so the device-cert program compiles ONCE per run
+    # even as the rank bucket grows (remote-compiler compiles are the
+    # dominant cold-run cost on this toolchain).
+    cert_p_bucket: int = 48
     # Endgame TR-budget escalation: the reference's tiny TR budgets
     # (e.g. TR_maxiter=3) assume the subproblem is nearly solved each
     # outer iteration.  When the sigma controller freezes (pinf sits

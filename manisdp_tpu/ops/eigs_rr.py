@@ -307,6 +307,232 @@ class RowCertSolver:
         return float(lo), float(hi)
 
 
+class DeviceCertSolver:
+    """Fully device-resident row-layout LOBPCG certificate.
+
+    The RowCertSolver above still pays ~3 host round-trips per LOBPCG
+    iteration (residual check + Gram fetches for the host Rayleigh-Ritz)
+    — measured ~80-110 ms/iteration on the axon runtime, i.e. 6-9 s per
+    certificate call at n = 2000 even with all programs warm.  This
+    solver moves the ENTIRE eigensolve into one jitted program:
+
+      - the spectral-interval Lanczos pass,
+      - the deflation-block whitening (eigh of the p_pad x p_pad Gram —
+        small f64 eighs compile fine on this toolchain, unlike the
+        >= 128 ones),
+      - the LOBPCG loop as a ``lax.while_loop`` whose Rayleigh-Ritz runs
+        on-device (two 3b x 3b f64 eighs; measured 8.8 ms per full
+        iteration at n = 2000, b = 24 — ~10x the host-RR path),
+      - the final honest recompute of A X and the residual-backed
+        bounds.
+
+    One dispatch + one small fetch per certificate call.  ``maxiter``
+    and ``tol`` are runtime scalars, so adaptive budgets do not
+    recompile.  Soundness contract unchanged: lam_min is the f64
+    residual-backed lower bound ritz_0 - ||r_0||.
+
+    Reference semantics replaced: the per-outer-iteration full
+    ``eig(S, 'vector')`` (ManiSDP_onlyunitdiag.m:50, ManiSDP.m:66,
+    ManiDSDP_unitdiag.m:84).
+    """
+
+    BIG = 1e30          # Ritz value assigned to dropped basis directions
+    TINY = 1e-30        # smallest safe norm/eigenvalue floor: the TPU's
+                        # emulated f64 (double-double) has f32 EXPONENT
+                        # range, so 1e-300 underflows to 0 (measured:
+                        # float64(1e-150) == 0.0 on axon) and the usual
+                        # IEEE-f64 guards produce inf/NaN
+
+    def __init__(self, matvec_rows: Callable, n: int, k: int,
+                 deflate_rows: int = 0, aug_cap: int = 24,
+                 lanczos_iters: int = 32):
+        self.n = n
+        self.k = k
+        self.dr = deflate_rows
+        # deflation augmentation: Y's strong directions join the block so
+        # Rayleigh-Ritz resolves the near-null cluster internally.  The
+        # block is FIXED at b = k + aug (short Y is padded with random
+        # rows), so one compiled program serves every outer iteration.
+        aug = max(min((n - 1) // 5, aug_cap) - k, 0) if deflate_rows else 0
+        self.aug = aug
+        self.b = k + aug
+        if 3 * self.b >= n:
+            raise ValueError(
+                f"DeviceCertSolver needs n > 3*(k+aug) = {3 * self.b}; "
+                f"got n = {n} (use the dense eigh certificate instead)")
+        self._iters = lanczos_iters
+        self._mv = matvec_rows
+        self._run = jax.jit(self._build(matvec_rows))
+
+    # -- device Rayleigh-Ritz ---------------------------------------------
+    @staticmethod
+    def _rr(G, H, drop_tol, nkeep):
+        """Eigenpairs of H restricted to the span with Gram G, on
+        device.  Dropped (near-dependent) directions get Ritz value BIG
+        so they sort past the wanted bottom block; their coefficient
+        columns are zero — matching the host _host_pad_rr semantics."""
+        G = (G + G.T) * 0.5
+        H = (H + H.T) * 0.5
+        w, V = jnp.linalg.eigh(G)
+        # TINY (not 1e-300): emulated f64 on TPU carries f32 EXPONENT
+        # range — 1e-300 underflows to exactly 0 and breeds 0/0 NaNs
+        wmax = jnp.maximum(w[-1], DeviceCertSolver.TINY)
+        keep = w > drop_tol * wmax
+        s = jnp.where(keep,
+                      1.0 / jnp.sqrt(jnp.maximum(w, DeviceCertSolver.TINY)),
+                      0.0)
+        W = V * s[None, :]
+        Hs = W.T @ H @ W
+        Hs = (Hs + Hs.T) * 0.5 + jnp.diag(
+            jnp.where(keep, 0.0, DeviceCertSolver.BIG))
+        th, U = jnp.linalg.eigh(Hs)
+        C = W @ U
+        return th[:nkeep], C[:, :nkeep]
+
+    def _build(self, mv):
+        n, k, b, aug, dr = self.n, self.k, self.b, self.aug, self.dr
+        iters = self._iters
+
+        def lanczos(ctx, key):
+            v = jax.random.normal(key, (1, n), dtype=jnp.float64)
+            v = v / jnp.linalg.norm(v)
+
+            def body(carry, _):
+                v_prev, v_cur, beta = carry
+                w = mv(v_cur, ctx) - beta * v_prev
+                alpha = jnp.vdot(v_cur, w)
+                w = w - alpha * v_cur
+                beta_new = jnp.linalg.norm(w)
+                v_next = w / jnp.maximum(beta_new, DeviceCertSolver.TINY)
+                return (v_cur, v_next, beta_new), (alpha, beta_new)
+
+            (_, _, _), (alphas, betas) = jax.lax.scan(
+                body, (jnp.zeros_like(v), v, jnp.float64(0.0)), None,
+                length=iters)
+            alphas = alphas.reshape(-1)
+            betas = betas.reshape(-1)[:-1]
+            T = jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1)
+            ritz = jnp.linalg.eigvalsh(T)
+            slack = jnp.abs(betas[-1])
+            return ritz[0] - slack, ritz[-1] + slack
+
+        def run(ctx, Ypad, X0, key, maxiter, tol):
+            key_l, key_q = jax.random.split(key)
+            lo, hi = lanczos(ctx, key_l)
+            scale = jnp.maximum(
+                jnp.maximum(jnp.abs(lo), jnp.abs(hi)), 1e-30)
+
+            blocks = [X0]
+            if dr:
+                # whiten Y's rows on device (Cholesky-QR via eigh of the
+                # p_pad x p_pad Gram; zero padding rows drop out through
+                # the `good` mask) and take the strongest `aug`
+                t = min(aug, dr)      # directions Y can actually supply
+                G = Ypad @ Ypad.T
+                w, V = jnp.linalg.eigh(G)
+                w_top = w[::-1][:t]
+                V_top = V[:, ::-1][:, :t]
+                good = w_top > 1e-12 * jnp.maximum(
+                    w_top[0], DeviceCertSolver.TINY)
+                sc = jnp.where(good, 1.0 / jnp.sqrt(jnp.maximum(
+                    w_top, DeviceCertSolver.TINY)), 0.0)
+                Q = (V_top * sc[None, :]).T @ Ypad        # (t, n)
+                rnd = jax.random.normal(key_q, (aug, n),
+                                        dtype=jnp.float64)
+                blocks.append(jnp.where(good[:, None], Q, rnd[:t]))
+                if aug > t:           # fixed block: random filler rows
+                    blocks.append(rnd[t:])
+            X = jnp.concatenate(blocks, axis=0)           # (b, n)
+
+            AX = mv(X, ctx)
+            th0, C0 = self._rr(X @ X.T, X @ AX.T, 1e-12, b)
+            X, AX = C0.T @ X, C0.T @ AX
+            theta = th0
+            P = jnp.zeros_like(X)
+            AP = jnp.zeros_like(AX)
+            rn = jnp.linalg.norm(AX - theta[:, None] * X, axis=1)
+
+            def cond(s):
+                X, AX, P, AP, theta, rn, j = s
+                return (j < maxiter) & (jnp.max(rn[:k]) >= tol * scale)
+
+            def body(s):
+                X, AX, P, AP, theta, rn, j = s
+                R = AX - theta[:, None] * X
+                R = R / jnp.maximum(rn, DeviceCertSolver.TINY)[:, None]
+                AR = mv(R, ctx)
+                Z = jnp.concatenate([X, R, P], axis=0)
+                AZ = jnp.concatenate([AX, AR, AP], axis=0)
+                G = Z @ Z.T
+                H = Z @ AZ.T
+                th, C = self._rr(G, H, 1e-12, b)
+                Cx = C.T                                   # (b, 3b)
+                # P-direction: R/P components of the new X, normalized
+                # in the G-metric (classic three-term recurrence)
+                Cp = Cx * jnp.concatenate(
+                    [jnp.zeros((b, b)), jnp.ones((b, 2 * b))], axis=1)
+                pn = jnp.sqrt(jnp.maximum(
+                    jnp.sum((Cp @ G) * Cp, axis=1),
+                    DeviceCertSolver.TINY))
+                Cp = Cp / pn[:, None]
+                Xn, AXn = Cx @ Z, Cx @ AZ
+                Pn, APn = Cp @ Z, Cp @ AZ
+                rn_n = jnp.linalg.norm(AXn - th[:, None] * Xn, axis=1)
+                # stability guard: once residuals grind past the
+                # emulated-f64 floor the whitened basis can go
+                # non-finite; keep the LAST GOOD block and stop (the
+                # epilogue's residual-backed bounds stay honest)
+                ok = jnp.isfinite(jnp.sum(Xn) + jnp.sum(th) +
+                                  jnp.sum(rn_n))
+                pick = lambda new, old: jnp.where(ok, new, old)
+                return (pick(Xn, X), pick(AXn, AX), pick(Pn, P),
+                        pick(APn, AP), pick(th, theta), pick(rn_n, rn),
+                        jnp.where(ok, j + 1, maxiter))
+
+            X, AX, P, AP, theta, rn, j = jax.lax.while_loop(
+                cond, body, (X, AX, P, AP, theta, rn, jnp.int32(0)))
+
+            # honest epilogue: recompute A X (the loop's AX is a linear
+            # combination of earlier products and carries drift) and
+            # report residual-backed bounds from exact f64 residuals
+            AXf = mv(X, ctx)
+            th_f, C_f = self._rr(X @ X.T, X @ AXf.T, 1e-12, b)
+            X = C_f.T @ X
+            AXf = C_f.T @ AXf
+            Rf = AXf - th_f[:, None] * X
+            resid = jnp.linalg.norm(Rf, axis=1)
+            s_lower = th_f - resid
+            num_neg = jnp.sum(th_f < 0)
+            return (s_lower[0], hi, num_neg, X[:k], th_f[:k], j)
+
+        return run
+
+    def solve(self, ctx, key, X0=None, Ypad=None,
+              maxiter: int = 200, tol: float = 1e-10) -> CertResult:
+        n, k = self.n, self.k
+        if self.dr:
+            if Ypad is None:
+                raise ValueError("solver built with deflate_rows needs Ypad")
+            if Ypad.shape[0] != self.dr:
+                raise ValueError(
+                    f"Ypad has {Ypad.shape[0]} rows, solver expects "
+                    f"{self.dr} (pad the factor to a stable bucket)")
+        else:
+            Ypad = jnp.zeros((0, n), dtype=jnp.float64)
+        key, sub = jax.random.split(key)
+        if X0 is None:
+            X0 = jax.random.normal(sub, (k, n), dtype=jnp.float64)
+        else:
+            X0 = jnp.asarray(X0, dtype=jnp.float64)
+            if X0.shape[0] == n and (X0.ndim == 1 or X0.shape[1] != n):
+                X0 = X0.T
+            X0 = X0[:k]
+        lam_min, hi, num_neg, Xk, th_k, _ = self._run(
+            ctx, Ypad, X0, key, jnp.int32(maxiter), jnp.float64(tol))
+        return CertResult(lam_min=lam_min, lam_max=hi, num_neg=num_neg,
+                          neg_vecs=Xk.T, neg_vals=th_k)
+
+
 def lobpcg_rows(matvec_rows: Callable, n: int, k: int, key,
                 maxiter: int = 200, tol: float = 1e-9,
                 deflate=None, X0=None,

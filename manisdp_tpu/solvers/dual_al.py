@@ -243,7 +243,44 @@ def solve_dual_al(variant_name: str, op: DualOp,
     # would otherwise shadow this before the jitted closures trace,
     # silently gating the f32 LOBPCG pre-stage on inner_dtype
     # (ADVICE r2, high).
-    if opt.cert_method == "rowrr":
+    if opt.cert_method == "devrr" and n > 3 * k_cert:
+        # Fully device-resident certificate (ops/eigs_rr.DeviceCertSolver):
+        # one dispatch per call; the primal-recovery matrix Xp is dense,
+        # so the row matvec is one MXU matmul V @ Xp (Xp symmetric).
+        # While far from convergence (max(gap, pinf) > cert_cheap_eta)
+        # the warm solve runs the cheap budget — only the escape
+        # directions matter there, not a tight lam_min bound.
+        from ..ops.eigs_rr import DeviceCertSolver
+        cert_solver = DeviceCertSolver(lambda V, Xp: V @ Xp, n, k_cert)
+        cert_warm = {"X0": None}
+
+        def lob_cert(Xp, key, gap, pinf):
+            far = max(gap, pinf) > opt.cert_cheap_eta
+            X0 = cert_warm["X0"]
+            if X0 is None and not far:
+                res = cert_solver.solve(Xp, key,
+                                        maxiter=opt.lobpcg_maxiter,
+                                        tol=1e-10)
+            else:
+                mi = opt.lobpcg_maxiter_cheap if far \
+                    else opt.lobpcg_maxiter_warm
+                res = cert_solver.solve(Xp, key, X0=X0, maxiter=mi,
+                                        tol=1e-10)
+                if not far:
+                    lam_max = abs(float(res.lam_max))
+                    cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
+                    optm = max(0.0, -float(res.neg_vals[0])) / \
+                        (1.0 + lam_max)
+                    if cons >= opt.tol and optm < opt.tol:
+                        # accuracy decides convergence -> full budget
+                        res = cert_solver.solve(
+                            Xp, key, X0=res.neg_vecs,
+                            maxiter=opt.lobpcg_maxiter, tol=1e-10)
+            cert_warm["X0"] = res.neg_vecs
+            return res
+    elif opt.cert_method in ("rowrr", "devrr"):
+        # (devrr lands here when n <= 3*k_cert — too small for the
+        # fixed-block device program; the host-RR path has no minimum)
         # row-layout LOBPCG + host Rayleigh-Ritz (ops/eigs_rr.py); the
         # primal-recovery matrix Xp is dense, so the row matvec is one
         # MXU matmul V @ Xp (Xp symmetric).

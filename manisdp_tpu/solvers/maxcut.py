@@ -120,6 +120,58 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
             z = C.quad_cols(Y)
         return z, jnp.sum(z)
 
+    if opt.cert_method == "devrr" and not use_eigh:
+        # Fully device-resident certificate (ops/eigs_rr.DeviceCertSolver):
+        # one dispatch per call; S = C - diag(z) applied as rows.  The
+        # factor is padded to cert_p_bucket rows so the program compiles
+        # once per run even as the rank shrinks/grows.
+        from ..ops.eigs_rr import DeviceCertSolver
+        from .common import bucketed as _bucketed
+
+        def mvr(V, ctx):
+            CV = V @ ctx["C"] if dense else ctx["C"].matmat(V)
+            return CV - ctx["z"][None, :] * V
+
+        solvers = {}
+        warm = {"X0": None}
+
+        def cert(Y, C, key):
+            z, obj = z_obj(Y, C)
+            ctx = dict(C=C, z=z)
+            dr = _bucketed(Y.shape[0], opt.cert_p_bucket)
+            solver = solvers.get(dr)
+            if solver is None:
+                solver = DeviceCertSolver(mvr, n, k, deflate_rows=dr)
+                solvers[dr] = solver
+            Ypad = Y if Y.shape[0] == dr else jnp.concatenate(
+                [Y, jnp.zeros((dr - Y.shape[0], n), dtype=Y.dtype)])
+            X0 = warm["X0"]
+            if X0 is None:
+                res = solver.solve(ctx, key, Ypad=Ypad,
+                                   maxiter=opt.lobpcg_maxiter, tol=1e-10)
+            else:
+                res = solver.solve(ctx, key, X0=X0, Ypad=Ypad,
+                                   maxiter=opt.lobpcg_maxiter_warm,
+                                   tol=1e-10)
+                lam_max = float(res.lam_max)
+                cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
+                optm = max(0.0, -float(res.neg_vals[0])) / (1.0 + lam_max)
+                if cons >= opt.tol and optm < opt.tol:
+                    # accuracy decides convergence -> full budget
+                    res = solver.solve(ctx, key, X0=res.neg_vecs,
+                                       Ypad=Ypad,
+                                       maxiter=opt.lobpcg_maxiter,
+                                       tol=1e-10)
+            warm["X0"] = res.neg_vecs
+            lam_min = float(res.lam_min)
+            lam_max = float(res.lam_max)
+            dinf = max(0.0, -lam_min) / (1.0 + lam_max)
+            return (z, float(obj), dinf, int(res.num_neg),
+                    np.asarray(jax.device_get(res.neg_vecs)),
+                    np.asarray(jax.device_get(res.neg_vals)))
+
+        return cert
+
     if opt.cert_method == "rowrr" and not use_eigh:
         # row-layout LOBPCG + host Rayleigh-Ritz (see ops/eigs_rr.py);
         # S = C - diag(z), applied as rows:  V @ C - V .* z

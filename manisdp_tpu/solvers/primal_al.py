@@ -157,7 +157,7 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
         pi = np.asarray(op_host.pat.i)
         pj = np.asarray(op_host.pat.j)
 
-        def cert(Y, op, sv, z, key):
+        def cert(Y, op, sv, z, key, gap=np.inf, pinf=np.inf):
             sv_h = sv_unpad(np.asarray(jax.device_get(sv)))
             if sv_h.ndim == 2:           # dense-carrier operator
                 S = sv_h.copy()
@@ -172,6 +172,63 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
             vals, vecs = np.linalg.eigh(S)
             return (vals[0], vals[-1], int(np.sum(vals < 0)),
                     vecs[:, :k], vals[:k], S)
+
+        return cert
+
+    if opt.cert_method == "devrr" and wrap is jax.jit:
+        # Fully device-resident certificate: ONE dispatch per call
+        # (ops/eigs_rr.DeviceCertSolver) — the host-RR path below pays
+        # ~3 round trips per LOBPCG iteration.  The deflation factor is
+        # padded to a stable cert_p_bucket so the program compiles once
+        # per run even as the rank bucket grows.
+        from ..ops.eigs_rr import DeviceCertSolver
+
+        def mvr(V, ctx):
+            SV = ctx["op"].matmat_pattern(V, ctx["sv"])
+            if variant.shift == "diag":
+                SV = SV - ctx["z"][None, :] * V
+            elif variant.shift == "trace":
+                SV = SV - ctx["z"] * V
+            return SV
+
+        solvers = {}
+        warm = {"X0": None}
+
+        def cert(Y, op, sv, z, key, gap=np.inf, pinf=np.inf):
+            dr = bucketed(Y.shape[0], opt.cert_p_bucket)
+            solver = solvers.get(dr)
+            if solver is None:
+                solver = DeviceCertSolver(mvr, n, k, deflate_rows=dr)
+                solvers[dr] = solver
+            Ypad = Y if Y.shape[0] == dr else jnp.concatenate(
+                [Y, jnp.zeros((dr - Y.shape[0], n), dtype=Y.dtype)])
+            ctx = dict(op=op, sv=sv, z=z)
+            far = max(gap, pinf) > opt.cert_cheap_eta
+            X0 = warm["X0"]
+            if X0 is None and not far:
+                res = solver.solve(ctx, key, Ypad=Ypad,
+                                   maxiter=opt.lobpcg_maxiter, tol=1e-10)
+            else:
+                mi = opt.lobpcg_maxiter_cheap if far \
+                    else opt.lobpcg_maxiter_warm
+                res = solver.solve(ctx, key, X0=X0, Ypad=Ypad,
+                                   maxiter=mi, tol=1e-10)
+                if not far:
+                    lam_max = float(res.lam_max)
+                    cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
+                    optm = max(0.0, -float(res.neg_vals[0])) / \
+                        (1.0 + lam_max)
+                    if cons >= opt.tol and optm < opt.tol:
+                        # accuracy decides convergence -> full budget
+                        res = solver.solve(ctx, key, X0=res.neg_vecs,
+                                           Ypad=Ypad,
+                                           maxiter=opt.lobpcg_maxiter,
+                                           tol=1e-10)
+            warm["X0"] = res.neg_vecs
+            return (float(res.lam_min), float(res.lam_max),
+                    int(res.num_neg),
+                    np.asarray(jax.device_get(res.neg_vecs)),
+                    np.asarray(jax.device_get(res.neg_vals)), None)
 
         return cert
 
@@ -196,7 +253,7 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
         solver = RowCertSolver(mvr, n, mvr if cert32 else None)
         warm = {"X0": None}
 
-        def cert(Y, op, sv, z, key):
+        def cert(Y, op, sv, z, key, gap=np.inf, pinf=np.inf):
             ctx = dict(op=op, sv=sv, z=z)
             X0 = warm["X0"]
             if X0 is None:
@@ -260,7 +317,7 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
     lob_warm = _lob(opt.lobpcg_maxiter_warm)
     warm = {"X0": None}
 
-    def cert(Y, op, sv, z, key):
+    def cert(Y, op, sv, z, key, gap=np.inf, pinf=np.inf):
         X0 = warm["X0"]
         if X0 is None:
             X0 = jax.random.normal(jax.random.fold_in(key, 1), (n, k),
@@ -485,7 +542,7 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
         with timers.timed("cert"):
             key, sub = jax.random.split(key)
             lam_min, lam_max, num_neg, neg_vecs, neg_vals, S_dense = cert_fn(
-                Y, op_dev, sv_dev, z_dev, sub)
+                Y, op_dev, sv_dev, z_dev, sub, gap=gap, pinf=pinf)
         dinf = max(0.0, -lam_min) / (1.0 + lam_max)
 
         with timers.timed("rank"):
