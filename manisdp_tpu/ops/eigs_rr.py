@@ -362,7 +362,7 @@ class DeviceCertSolver:
                 f"got n = {n} (use the dense eigh certificate instead)")
         self._iters = lanczos_iters
         self._mv = matvec_rows
-        self._run = jax.jit(self._build(matvec_rows))
+        self._prep, self._loop, self._finish = self._build(matvec_rows)
 
     # -- device Rayleigh-Ritz ---------------------------------------------
     @staticmethod
@@ -392,65 +392,73 @@ class DeviceCertSolver:
     def _build(self, mv):
         n, k, b, aug, dr = self.n, self.k, self.b, self.aug, self.dr
         iters = self._iters
+        TINY = DeviceCertSolver.TINY
 
-        def lanczos(ctx, key):
-            v = jax.random.normal(key, (1, n), dtype=jnp.float64)
+        # The pipeline is THREE jitted programs (prep -> loop -> finish)
+        # chained by device arrays with no host sync in between.  One
+        # monolithic jit measured 875 s on the axon remote compiler —
+        # compile time grows superlinearly with program size — while the
+        # pieces compile in tens of seconds each; the extra cost is two
+        # async dispatches per call.
+
+        def prep(ctx, Ypad, X0, key, tol):
+            key_l, key_q = jax.random.split(key)
+            # -- Lanczos spectral-interval bounds (row layout) --
+            v = jax.random.normal(key_l, (1, n), dtype=jnp.float64)
             v = v / jnp.linalg.norm(v)
 
-            def body(carry, _):
+            def lan_body(carry, _):
                 v_prev, v_cur, beta = carry
                 w = mv(v_cur, ctx) - beta * v_prev
                 alpha = jnp.vdot(v_cur, w)
                 w = w - alpha * v_cur
                 beta_new = jnp.linalg.norm(w)
-                v_next = w / jnp.maximum(beta_new, DeviceCertSolver.TINY)
+                v_next = w / jnp.maximum(beta_new, TINY)
                 return (v_cur, v_next, beta_new), (alpha, beta_new)
 
             (_, _, _), (alphas, betas) = jax.lax.scan(
-                body, (jnp.zeros_like(v), v, jnp.float64(0.0)), None,
+                lan_body, (jnp.zeros_like(v), v, jnp.float64(0.0)), None,
                 length=iters)
             alphas = alphas.reshape(-1)
             betas = betas.reshape(-1)[:-1]
             T = jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1)
             ritz = jnp.linalg.eigvalsh(T)
             slack = jnp.abs(betas[-1])
-            return ritz[0] - slack, ritz[-1] + slack
-
-        def run(ctx, Ypad, X0, key, maxiter, tol):
-            key_l, key_q = jax.random.split(key)
-            lo, hi = lanczos(ctx, key_l)
+            lo, hi = ritz[0] - slack, ritz[-1] + slack
             scale = jnp.maximum(
-                jnp.maximum(jnp.abs(lo), jnp.abs(hi)), 1e-30)
+                jnp.maximum(jnp.abs(lo), jnp.abs(hi)), TINY)
 
+            # -- block assembly: X0 rows + whitened deflation rows --
             blocks = [X0]
             if dr:
-                # whiten Y's rows on device (Cholesky-QR via eigh of the
-                # p_pad x p_pad Gram; zero padding rows drop out through
-                # the `good` mask) and take the strongest `aug`
-                t = min(aug, dr)      # directions Y can actually supply
+                t = min(aug, dr)
                 G = Ypad @ Ypad.T
                 w, V = jnp.linalg.eigh(G)
                 w_top = w[::-1][:t]
                 V_top = V[:, ::-1][:, :t]
-                good = w_top > 1e-12 * jnp.maximum(
-                    w_top[0], DeviceCertSolver.TINY)
+                good = w_top > 1e-12 * jnp.maximum(w_top[0], TINY)
                 sc = jnp.where(good, 1.0 / jnp.sqrt(jnp.maximum(
-                    w_top, DeviceCertSolver.TINY)), 0.0)
-                Q = (V_top * sc[None, :]).T @ Ypad        # (t, n)
+                    w_top, TINY)), 0.0)
+                Q = (V_top * sc[None, :]).T @ Ypad
                 rnd = jax.random.normal(key_q, (aug, n),
                                         dtype=jnp.float64)
                 blocks.append(jnp.where(good[:, None], Q, rnd[:t]))
-                if aug > t:           # fixed block: random filler rows
+                if aug > t:
                     blocks.append(rnd[t:])
             X = jnp.concatenate(blocks, axis=0)           # (b, n)
+            X = X / jnp.maximum(
+                jnp.linalg.norm(X, axis=1, keepdims=True), TINY)
 
+            # -- Rayleigh-quotient seeding (no RR here: the loop's first
+            #    Rayleigh-Ritz orthonormalizes the block anyway) --
             AX = mv(X, ctx)
-            th0, C0 = self._rr(X @ X.T, X @ AX.T, 1e-12, b)
-            X, AX = C0.T @ X, C0.T @ AX
-            theta = th0
+            theta = jnp.sum(X * AX, axis=1)
+            rn = jnp.linalg.norm(AX - theta[:, None] * X, axis=1)
+            return X, AX, theta, rn, lo, hi, scale
+
+        def loop(ctx, X, AX, theta, rn, scale, maxiter, tol):
             P = jnp.zeros_like(X)
             AP = jnp.zeros_like(AX)
-            rn = jnp.linalg.norm(AX - theta[:, None] * X, axis=1)
 
             def cond(s):
                 X, AX, P, AP, theta, rn, j = s
@@ -459,53 +467,59 @@ class DeviceCertSolver:
             def body(s):
                 X, AX, P, AP, theta, rn, j = s
                 R = AX - theta[:, None] * X
-                R = R / jnp.maximum(rn, DeviceCertSolver.TINY)[:, None]
+                R = R / jnp.maximum(rn, TINY)[:, None]
                 AR = mv(R, ctx)
                 Z = jnp.concatenate([X, R, P], axis=0)
                 AZ = jnp.concatenate([AX, AR, AP], axis=0)
                 G = Z @ Z.T
                 H = Z @ AZ.T
-                th, C = self._rr(G, H, 1e-12, b)
+                th, C = DeviceCertSolver._rr(G, H, 1e-12, b)
                 Cx = C.T                                   # (b, 3b)
-                # P-direction: R/P components of the new X, normalized
-                # in the G-metric (classic three-term recurrence)
                 Cp = Cx * jnp.concatenate(
                     [jnp.zeros((b, b)), jnp.ones((b, 2 * b))], axis=1)
                 pn = jnp.sqrt(jnp.maximum(
-                    jnp.sum((Cp @ G) * Cp, axis=1),
-                    DeviceCertSolver.TINY))
+                    jnp.sum((Cp @ G) * Cp, axis=1), TINY))
                 Cp = Cp / pn[:, None]
                 Xn, AXn = Cx @ Z, Cx @ AZ
                 Pn, APn = Cp @ Z, Cp @ AZ
                 rn_n = jnp.linalg.norm(AXn - th[:, None] * Xn, axis=1)
                 # stability guard: once residuals grind past the
                 # emulated-f64 floor the whitened basis can go
-                # non-finite; keep the LAST GOOD block and stop (the
-                # epilogue's residual-backed bounds stay honest)
+                # non-finite; keep the LAST GOOD block and stop.
+                # Arithmetic masking (jnp.where on a scalar predicate
+                # is avoided here purely for lowering simplicity).
                 ok = jnp.isfinite(jnp.sum(Xn) + jnp.sum(th) +
                                   jnp.sum(rn_n))
-                pick = lambda new, old: jnp.where(ok, new, old)
+                m = ok.astype(Xn.dtype)
+                nm = 1.0 - m
+                z = lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0,
+                                             neginf=0.0)
+                pick = lambda new, old: m * z(new) + nm * old
+                oki = ok.astype(j.dtype)
                 return (pick(Xn, X), pick(AXn, AX), pick(Pn, P),
                         pick(APn, AP), pick(th, theta), pick(rn_n, rn),
-                        jnp.where(ok, j + 1, maxiter))
+                        oki * (j + 1) + (1 - oki) * maxiter)
 
             X, AX, P, AP, theta, rn, j = jax.lax.while_loop(
                 cond, body, (X, AX, P, AP, theta, rn, jnp.int32(0)))
+            return X, j
 
+        def finish(ctx, X, hi):
             # honest epilogue: recompute A X (the loop's AX is a linear
             # combination of earlier products and carries drift) and
             # report residual-backed bounds from exact f64 residuals
             AXf = mv(X, ctx)
-            th_f, C_f = self._rr(X @ X.T, X @ AXf.T, 1e-12, b)
+            th_f, C_f = DeviceCertSolver._rr(X @ X.T, X @ AXf.T,
+                                             1e-12, b)
             X = C_f.T @ X
             AXf = C_f.T @ AXf
             Rf = AXf - th_f[:, None] * X
             resid = jnp.linalg.norm(Rf, axis=1)
             s_lower = th_f - resid
             num_neg = jnp.sum(th_f < 0)
-            return (s_lower[0], hi, num_neg, X[:k], th_f[:k], j)
+            return (s_lower[0], hi, num_neg, X[:k], th_f[:k])
 
-        return run
+        return (jax.jit(prep), jax.jit(loop), jax.jit(finish))
 
     def solve(self, ctx, key, X0=None, Ypad=None,
               maxiter: int = 200, tol: float = 1e-10) -> CertResult:
@@ -527,8 +541,12 @@ class DeviceCertSolver:
             if X0.shape[0] == n and (X0.ndim == 1 or X0.shape[1] != n):
                 X0 = X0.T
             X0 = X0[:k]
-        lam_min, hi, num_neg, Xk, th_k, _ = self._run(
-            ctx, Ypad, X0, key, jnp.int32(maxiter), jnp.float64(tol))
+        tol_d = jnp.float64(tol)
+        X, AX, theta, rn, lo, hi, scale = self._prep(
+            ctx, Ypad, X0, key, tol_d)
+        X, _ = self._loop(ctx, X, AX, theta, rn, scale,
+                          jnp.int32(maxiter), tol_d)
+        lam_min, hi, num_neg, Xk, th_k = self._finish(ctx, X, hi)
         return CertResult(lam_min=lam_min, lam_max=hi, num_neg=num_neg,
                           neg_vecs=Xk.T, neg_vals=th_k)
 
