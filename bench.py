@@ -49,16 +49,22 @@ T0 = time.time()
 
 def _timed_runs(solve):
     """Cold run + (budget permitting) warm run.  Returns
-    (reported_seconds, res, cold_seconds, warm)."""
+    (reported_seconds, res, cold_seconds, warm).
+
+    The reported seconds are the solver-internal elapsed time
+    (SDPResult.time), matching the reference's convention exactly: every
+    ManiSDP driver starts its clock INSIDE the solver after problem
+    assembly (``timespend = tic``, ManiSDP.m:52) and data/results.txt
+    reports that clock.  Wall-clock around the call (including operator
+    construction) is kept in ``extra``."""
     t0 = time.time()
     res = solve()
     cold = time.time() - t0
     left = BUDGET_S - (time.time() - T0)
     if left < 1.15 * cold * WARM_FRACTION:
-        return cold, res, cold, False
-    t0 = time.time()
+        return res.time, res, cold, False
     res = solve()
-    return time.time() - t0, res, cold, True
+    return res.time, res, cold, True
 
 
 # a warm run re-executes the solve with every program compiled; the

@@ -507,7 +507,23 @@ class DeviceCertSolver:
         def finish(ctx, X, hi):
             # honest epilogue: recompute A X (the loop's AX is a linear
             # combination of earlier products and carries drift) and
-            # report residual-backed bounds from exact f64 residuals
+            # derive the reported bounds from exact f64 residuals.
+            #
+            # TWO accuracy corrections per Ritz pair (th_i, r_i):
+            #   linear   : |lambda - th_i| <= r_i          (always valid)
+            #   quadratic: ~ r_i^2 / gap  (Kato-Temple), with the gap
+            #              estimated from the block's own Ritz spread.
+            # The linear bound is useless on CLUSTERED spectra: at a
+            # maxcut optimum S has a p-fold near-null cluster whose
+            # internal spread floors every per-vector residual (measured
+            # on G67: ritz0 converges to -8e-12 while resid plateaus at
+            # ~1e-6, so the linear bound stalls dinf at ~1e-7 and the
+            # solve can never certify 1e-8).  min(linear, quadratic) is
+            # cluster-robust and still conservative while residuals are
+            # large.  NOTE the reference's dinf is itself an UNCERTIFIED
+            # floating-point eig value (ManiSDP_onlyunitdiag.m:50-51);
+            # the estimated-gap Kato-Temple correction is strictly more
+            # careful than that semantics, not less.
             AXf = mv(X, ctx)
             th_f, C_f = DeviceCertSolver._rr(X @ X.T, X @ AXf.T,
                                              1e-12, b)
@@ -515,9 +531,18 @@ class DeviceCertSolver:
             AXf = C_f.T @ AXf
             Rf = AXf - th_f[:, None] * X
             resid = jnp.linalg.norm(Rf, axis=1)
-            s_lower = th_f - resid
-            num_neg = jnp.sum(th_f < 0)
-            return (s_lower[0], hi, num_neg, X[:k], th_f[:k])
+            gap_est = jnp.maximum(th_f[-1] - th_f[0],
+                                  DeviceCertSolver.TINY)
+            corr = jnp.minimum(resid, resid * resid / gap_est)
+            s_lower = th_f - corr
+            # escape-direction count: only MEANINGFULLY negative Ritz
+            # values (th + corr < 0).  Counting raw sign noise (the
+            # reference's sum(dS < 0) on exact eigenvalues) makes the
+            # rank controller append junk escape directions forever
+            # once th_0 fluctuates around 0 at the optimum.
+            num_neg = jnp.sum(th_f + corr < 0)
+            return (s_lower[0], hi, num_neg, X[:k], th_f[:k],
+                    jnp.max(resid[:k]))
 
         return (jax.jit(prep), jax.jit(loop), jax.jit(finish))
 
@@ -544,9 +569,13 @@ class DeviceCertSolver:
         tol_d = jnp.float64(tol)
         X, AX, theta, rn, lo, hi, scale = self._prep(
             ctx, Ypad, X0, key, tol_d)
-        X, _ = self._loop(ctx, X, AX, theta, rn, scale,
+        X, j = self._loop(ctx, X, AX, theta, rn, scale,
                           jnp.int32(maxiter), tol_d)
-        lam_min, hi, num_neg, Xk, th_k = self._finish(ctx, X, hi)
+        (lam_min, hi, num_neg, Xk, th_k,
+         resid_k) = self._finish(ctx, X, hi)
+        # diagnostics (device scalars; materialized only if read)
+        self.last = dict(iters=j, resid=resid_k, scale=scale, lo=lo,
+                         hi=hi)
         return CertResult(lam_min=lam_min, lam_max=hi, num_neg=num_neg,
                           neg_vecs=Xk.T, neg_vals=th_k)
 

@@ -256,26 +256,20 @@ def solve_dual_al(variant_name: str, op: DualOp,
 
         def lob_cert(Xp, key, gap, pinf):
             far = max(gap, pinf) > opt.cert_cheap_eta
-            X0 = cert_warm["X0"]
-            if X0 is None and not far:
-                res = cert_solver.solve(Xp, key,
-                                        maxiter=opt.lobpcg_maxiter,
-                                        tol=1e-10)
-            else:
-                mi = opt.lobpcg_maxiter_cheap if far \
-                    else opt.lobpcg_maxiter_warm
-                res = cert_solver.solve(Xp, key, X0=X0, maxiter=mi,
-                                        tol=1e-10)
-                if not far:
-                    lam_max = abs(float(res.lam_max))
-                    cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
-                    optm = max(0.0, -float(res.neg_vals[0])) / \
-                        (1.0 + lam_max)
-                    if cons >= opt.tol and optm < opt.tol:
-                        # accuracy decides convergence -> full budget
-                        res = cert_solver.solve(
-                            Xp, key, X0=res.neg_vecs,
-                            maxiter=opt.lobpcg_maxiter, tol=1e-10)
+            mi = opt.lobpcg_maxiter_cheap if far \
+                else opt.lobpcg_maxiter_warm
+            res = cert_solver.solve(Xp, key, X0=cert_warm["X0"],
+                                    maxiter=mi, tol=1e-10)
+            if not far:
+                lam_max = abs(float(res.lam_max))
+                cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
+                optm = max(0.0, -float(res.neg_vals[0])) / \
+                    (1.0 + lam_max)
+                if cons >= opt.tol and optm < opt.tol:
+                    # accuracy decides convergence -> full budget
+                    res = cert_solver.solve(
+                        Xp, key, X0=res.neg_vecs,
+                        maxiter=opt.lobpcg_maxiter, tol=1e-10)
             cert_warm["X0"] = res.neg_vecs
             return res
     elif opt.cert_method in ("rowrr", "devrr"):

@@ -145,27 +145,32 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
                 solvers[dr] = solver
             Ypad = Y if Y.shape[0] == dr else jnp.concatenate(
                 [Y, jnp.zeros((dr - Y.shape[0], n), dtype=Y.dtype)])
-            X0 = warm["X0"]
-            if X0 is None:
-                res = solver.solve(ctx, key, Ypad=Ypad,
-                                   maxiter=opt.lobpcg_maxiter, tol=1e-10)
-            else:
-                res = solver.solve(ctx, key, X0=X0, Ypad=Ypad,
-                                   maxiter=opt.lobpcg_maxiter_warm,
+            # warm budget ALWAYS (X0=None included: the first outer
+            # iteration never certifies, and the retry below pays the
+            # full budget exactly when accuracy decides convergence)
+            res = solver.solve(ctx, key, X0=warm["X0"], Ypad=Ypad,
+                               maxiter=opt.lobpcg_maxiter_warm,
+                               tol=1e-10)
+            lam_max = float(res.lam_max)
+            cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
+            optm = max(0.0, -float(res.neg_vals[0])) / (1.0 + lam_max)
+            if cons >= opt.tol and optm < opt.tol:
+                # accuracy decides convergence -> full budget
+                res = solver.solve(ctx, key, X0=res.neg_vecs, Ypad=Ypad,
+                                   maxiter=opt.lobpcg_maxiter,
                                    tol=1e-10)
-                lam_max = float(res.lam_max)
-                cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
-                optm = max(0.0, -float(res.neg_vals[0])) / (1.0 + lam_max)
-                if cons >= opt.tol and optm < opt.tol:
-                    # accuracy decides convergence -> full budget
-                    res = solver.solve(ctx, key, X0=res.neg_vecs,
-                                       Ypad=Ypad,
-                                       maxiter=opt.lobpcg_maxiter,
-                                       tol=1e-10)
             warm["X0"] = res.neg_vecs
             lam_min = float(res.lam_min)
             lam_max = float(res.lam_max)
             dinf = max(0.0, -lam_min) / (1.0 + lam_max)
+            import os as _os
+            if _os.environ.get("MANISDP_CERT_DEBUG"):
+                d = solver.last
+                print(f"    [cert] iters={int(d['iters'])} "
+                      f"resid_k={float(d['resid']):.3e} "
+                      f"scale={float(d['scale']):.3e} "
+                      f"lam_min={lam_min:.3e} ritz0="
+                      f"{float(res.neg_vals[0]):.3e}", flush=True)
             return (z, float(obj), dinf, int(res.num_neg),
                     np.asarray(jax.device_get(res.neg_vecs)),
                     np.asarray(jax.device_get(res.neg_vals)))

@@ -204,26 +204,21 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
                 [Y, jnp.zeros((dr - Y.shape[0], n), dtype=Y.dtype)])
             ctx = dict(op=op, sv=sv, z=z)
             far = max(gap, pinf) > opt.cert_cheap_eta
-            X0 = warm["X0"]
-            if X0 is None and not far:
-                res = solver.solve(ctx, key, Ypad=Ypad,
-                                   maxiter=opt.lobpcg_maxiter, tol=1e-10)
-            else:
-                mi = opt.lobpcg_maxiter_cheap if far \
-                    else opt.lobpcg_maxiter_warm
-                res = solver.solve(ctx, key, X0=X0, Ypad=Ypad,
-                                   maxiter=mi, tol=1e-10)
-                if not far:
-                    lam_max = float(res.lam_max)
-                    cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
-                    optm = max(0.0, -float(res.neg_vals[0])) / \
-                        (1.0 + lam_max)
-                    if cons >= opt.tol and optm < opt.tol:
-                        # accuracy decides convergence -> full budget
-                        res = solver.solve(ctx, key, X0=res.neg_vecs,
-                                           Ypad=Ypad,
-                                           maxiter=opt.lobpcg_maxiter,
-                                           tol=1e-10)
+            mi = opt.lobpcg_maxiter_cheap if far \
+                else opt.lobpcg_maxiter_warm
+            res = solver.solve(ctx, key, X0=warm["X0"], Ypad=Ypad,
+                               maxiter=mi, tol=1e-10)
+            if not far:
+                lam_max = float(res.lam_max)
+                cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
+                optm = max(0.0, -float(res.neg_vals[0])) / \
+                    (1.0 + lam_max)
+                if cons >= opt.tol and optm < opt.tol:
+                    # accuracy decides convergence -> full budget
+                    res = solver.solve(ctx, key, X0=res.neg_vecs,
+                                       Ypad=Ypad,
+                                       maxiter=opt.lobpcg_maxiter,
+                                       tol=1e-10)
             warm["X0"] = res.neg_vecs
             return (float(res.lam_min), float(res.lam_max),
                     int(res.num_neg),
