@@ -99,6 +99,13 @@ class SolverOptions:
     # have to.  Budgets are runtime scalars (no recompile).
     cert_cheap_eta: float = 1e-5
     lobpcg_maxiter_cheap: int = 25
+    # Raw-residual exit threshold of the certificate eigensolve
+    # (relative to the spectral scale).  With the Kato-Temple corrected
+    # bound, residuals of ~1e-9*scale already certify ~1e-17-level
+    # lam_min accuracy; demanding 1e-10 raw residuals is unreachable on
+    # clustered spectra and burns the full iteration budget for
+    # nothing.
+    cert_inner_tol: float = 1e-9
     # The deflation factor passed to the certificate is padded to a
     # multiple of this so the device-cert program compiles ONCE per run
     # even as the rank bucket grows (remote-compiler compiles are the

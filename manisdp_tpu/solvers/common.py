@@ -178,7 +178,8 @@ class SlowProgress:
 
 
 def make_line_search(cost_fn: Callable, renorm: Callable,
-                     max_extra: int = 45, wrap: Callable = jax.jit):
+                     max_extra: int = 45, wrap: Callable = jax.jit,
+                     ls_dtype=None):
     """Backtracking saddle-escape line search (ManiSDP_unitdiag.m:138-150).
 
     alpha starts at 1, shrinks by 0.8 up to 15 times, accepts when the
@@ -199,13 +200,29 @@ def make_line_search(cost_fn: Callable, renorm: Callable,
     the manifold (column-normalize / F-normalize / identity).
     """
     i_max = 15 + max_extra
+    # ls_dtype="float32": evaluate the trial COSTS in f32 (the accepted
+    # point stays f64).  The accept test compares against an absolute
+    # 1e-3 decrease (ManiSDP_unitdiag.m:144) — orders of magnitude
+    # above f32 noise for these cost scales — while a full f64 AL cost
+    # eval pays the sparse-operator pipeline (~0.3 s/eval at bqp q=60,
+    # 15 evals per outer iteration: the single largest rtr cost).
+    ls_dt = jnp.dtype(ls_dtype) if ls_dtype else None
 
     def line_search(Y, U, params):
-        f0 = cost_fn(Y, params)
+        if ls_dt is not None:
+            cast = lambda x: x.astype(ls_dt) \
+                if hasattr(x, "dtype") and \
+                jnp.issubdtype(x.dtype, jnp.floating) else x
+            params_c = jax.tree_util.tree_map(cast, params)
+            f_of = lambda P: cost_fn(P.astype(ls_dt),
+                                     params_c).astype(jnp.float64)
+        else:
+            f_of = lambda P: cost_fn(P, params)
+        f0 = f_of(Y)
 
         def trial(a):
             nY = renorm(Y + a * U)
-            return nY, cost_fn(nY, params)
+            return nY, f_of(nY)
 
         nY1, f1 = trial(jnp.float64(1.0))
 

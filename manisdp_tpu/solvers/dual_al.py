@@ -217,7 +217,9 @@ def solve_dual_al(variant_name: str, op: DualOp,
     def factory(key):
         _, tier, u32 = key
         solve = jax.jit(make_trustregions(problem, budget(tier, u32)))
-        ls = make_line_search(cost_only, M.renormalize)
+        ls = make_line_search(
+            cost_only, M.renormalize,
+            ls_dtype="float32" if opt.inner_dtype == "tcg32" else None)
         solve32 = None
         if opt.inner_dtype == "mixed":
             # f32 pre-stage of the inner solve (same dtype-generic RTR
@@ -259,7 +261,7 @@ def solve_dual_al(variant_name: str, op: DualOp,
             mi = opt.lobpcg_maxiter_cheap if far \
                 else opt.lobpcg_maxiter_warm
             res = cert_solver.solve(Xp, key, X0=cert_warm["X0"],
-                                    maxiter=mi, tol=1e-10)
+                                    maxiter=mi, tol=opt.cert_inner_tol)
             if not far:
                 lam_max = abs(float(res.lam_max))
                 cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
@@ -269,7 +271,7 @@ def solve_dual_al(variant_name: str, op: DualOp,
                     # accuracy decides convergence -> full budget
                     res = cert_solver.solve(
                         Xp, key, X0=res.neg_vecs,
-                        maxiter=opt.lobpcg_maxiter, tol=1e-10)
+                        maxiter=opt.lobpcg_maxiter, tol=opt.cert_inner_tol)
             cert_warm["X0"] = res.neg_vecs
             return res
     elif opt.cert_method in ("rowrr", "devrr"):
@@ -289,11 +291,11 @@ def solve_dual_al(variant_name: str, op: DualOp,
             if X0 is None:
                 res = rr_solver.solve(Xp, key, k_cert,
                                       maxiter=opt.lobpcg_maxiter,
-                                      tol=1e-10)
+                                      tol=opt.cert_inner_tol)
             else:
                 res = rr_solver.solve(Xp, key, k_cert, X0=X0,
                                       maxiter=opt.lobpcg_maxiter_warm,
-                                      tol=1e-10)
+                                      tol=opt.cert_inner_tol)
                 lam_max = abs(float(res.lam_max))
                 cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
                 optm = max(0.0, -float(res.neg_vals[0])) / (1.0 + lam_max)
@@ -303,7 +305,7 @@ def solve_dual_al(variant_name: str, op: DualOp,
                     res = rr_solver.solve(Xp, key, k_cert,
                                           X0=res.neg_vecs,
                                           maxiter=opt.lobpcg_maxiter,
-                                          tol=1e-10)
+                                          tol=opt.cert_inner_tol)
             cert_warm["X0"] = res.neg_vecs
             return res
     else:

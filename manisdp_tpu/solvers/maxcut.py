@@ -150,7 +150,7 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
             # full budget exactly when accuracy decides convergence)
             res = solver.solve(ctx, key, X0=warm["X0"], Ypad=Ypad,
                                maxiter=opt.lobpcg_maxiter_warm,
-                               tol=1e-10)
+                               tol=opt.cert_inner_tol)
             lam_max = float(res.lam_max)
             cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
             optm = max(0.0, -float(res.neg_vals[0])) / (1.0 + lam_max)
@@ -158,7 +158,7 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
                 # accuracy decides convergence -> full budget
                 res = solver.solve(ctx, key, X0=res.neg_vecs, Ypad=Ypad,
                                    maxiter=opt.lobpcg_maxiter,
-                                   tol=1e-10)
+                                   tol=opt.cert_inner_tol)
             warm["X0"] = res.neg_vecs
             lam_min = float(res.lam_min)
             lam_max = float(res.lam_max)
@@ -196,11 +196,11 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
             X0 = warm["X0"]
             if X0 is None:
                 res = solver.solve(ctx, key, k, deflate=Y,
-                                   maxiter=opt.lobpcg_maxiter, tol=1e-10)
+                                   maxiter=opt.lobpcg_maxiter, tol=opt.cert_inner_tol)
             else:
                 res = solver.solve(ctx, key, k, X0=X0, deflate=Y,
                                    maxiter=opt.lobpcg_maxiter_warm,
-                                   tol=1e-10)
+                                   tol=opt.cert_inner_tol)
                 lam_max = float(res.lam_max)
                 cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
                 optm = max(0.0, -float(res.neg_vals[0])) / (1.0 + lam_max)
@@ -208,7 +208,7 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
                     res = solver.solve(ctx, key, k, X0=res.neg_vecs,
                                        deflate=Y,
                                        maxiter=opt.lobpcg_maxiter,
-                                       tol=1e-10)
+                                       tol=opt.cert_inner_tol)
             warm["X0"] = res.neg_vecs
             lam_min = float(res.lam_min)
             lam_max = float(res.lam_max)

@@ -121,7 +121,9 @@ def solve_multiblock(At, b, c, ns: Sequence[int], nob: int,
     def factory(key):
         _, tier, u32 = key
         solve = jax.jit(make_trustregions(problem, budget(tier, u32)))
-        ls = make_line_search(cost_only, M.renormalize)
+        ls = make_line_search(
+            cost_only, M.renormalize,
+            ls_dtype="float32" if opt.inner_dtype == "tcg32" else None)
         solve32 = None
         if opt.inner_dtype == "mixed":
             t = budget(tier, False)

@@ -207,7 +207,7 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
             mi = opt.lobpcg_maxiter_cheap if far \
                 else opt.lobpcg_maxiter_warm
             res = solver.solve(ctx, key, X0=warm["X0"], Ypad=Ypad,
-                               maxiter=mi, tol=1e-10)
+                               maxiter=mi, tol=opt.cert_inner_tol)
             if not far:
                 lam_max = float(res.lam_max)
                 cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
@@ -218,7 +218,7 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
                     res = solver.solve(ctx, key, X0=res.neg_vecs,
                                        Ypad=Ypad,
                                        maxiter=opt.lobpcg_maxiter,
-                                       tol=1e-10)
+                                       tol=opt.cert_inner_tol)
             warm["X0"] = res.neg_vecs
             return (float(res.lam_min), float(res.lam_max),
                     int(res.num_neg),
@@ -253,11 +253,11 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
             X0 = warm["X0"]
             if X0 is None:
                 res = solver.solve(ctx, key, k, deflate=Y,
-                                   maxiter=opt.lobpcg_maxiter, tol=1e-10)
+                                   maxiter=opt.lobpcg_maxiter, tol=opt.cert_inner_tol)
             else:
                 res = solver.solve(ctx, key, k, X0=X0, deflate=Y,
                                    maxiter=opt.lobpcg_maxiter_warm,
-                                   tol=1e-10)
+                                   tol=opt.cert_inner_tol)
                 lam_max = float(res.lam_max)
                 cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
                 optm = max(0.0, -float(res.neg_vals[0])) / (1.0 + lam_max)
@@ -266,7 +266,7 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
                     res = solver.solve(ctx, key, k, X0=res.neg_vecs,
                                        deflate=Y,
                                        maxiter=opt.lobpcg_maxiter,
-                                       tol=1e-10)
+                                       tol=opt.cert_inner_tol)
             warm["X0"] = res.neg_vecs
             return (float(res.lam_min), float(res.lam_max),
                     int(res.num_neg),
@@ -432,7 +432,10 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
                 wrap=lambda f: shard_wrap(f, (_P(), _P(), param_specs)))
         else:
             solve = jax.jit(base)
-            ls = make_line_search(cost_only, M.renormalize)
+            ls = make_line_search(
+                cost_only, M.renormalize,
+                ls_dtype="float32" if opt.inner_dtype == "tcg32"
+                else None)
         if opt.inner_dtype == "mixed":
             t = budget(tier, False)
             tr32 = TROptions(maxiter=t.maxiter, maxinner=t.maxinner,
