@@ -328,8 +328,11 @@ class DeviceCertSolver:
 
     One dispatch + one small fetch per certificate call.  ``maxiter``
     and ``tol`` are runtime scalars, so adaptive budgets do not
-    recompile.  Soundness contract unchanged: lam_min is the f64
-    residual-backed lower bound ritz_0 - ||r_0||.
+    recompile.  Soundness contract: lam_min is an f64 residual-backed
+    lower bound — ritz_0 - ||r_0|| (linear), sharpened to the
+    Kato-Temple quadratic ritz_0 - ||r_0||^2/gap ONLY when another Ritz
+    pair's certified interval witnesses the gap (see ``finish``); a
+    stagnated solve always falls back to the linear bound.
 
     Reference semantics replaced: the per-outer-iteration full
     ``eig(S, 'vector')`` (ManiSDP_onlyunitdiag.m:50, ManiSDP.m:66,
@@ -511,19 +514,30 @@ class DeviceCertSolver:
             #
             # TWO accuracy corrections per Ritz pair (th_i, r_i):
             #   linear   : |lambda - th_i| <= r_i          (always valid)
-            #   quadratic: ~ r_i^2 / gap  (Kato-Temple), with the gap
-            #              estimated from the block's own Ritz spread.
-            # The linear bound is useless on CLUSTERED spectra: at a
-            # maxcut optimum S has a p-fold near-null cluster whose
+            #   quadratic: r_i^2 / gap_i  (Kato-Temple), applied ONLY
+            #              when another Ritz pair j WITNESSES the gap:
+            #              its certified interval lies strictly above
+            #              this one (th_j - r_j > th_i + r_i), and
+            #              gap_i = min over such j of (th_j - r_j) - th_i.
+            # The linear bound alone is useless on CLUSTERED spectra: at
+            # a maxcut optimum S has a p-fold near-null cluster whose
             # internal spread floors every per-vector residual (measured
             # on G67: ritz0 converges to -8e-12 while resid plateaus at
             # ~1e-6, so the linear bound stalls dinf at ~1e-7 and the
-            # solve can never certify 1e-8).  min(linear, quadratic) is
-            # cluster-robust and still conservative while residuals are
-            # large.  NOTE the reference's dinf is itself an UNCERTIFIED
-            # floating-point eig value (ManiSDP_onlyunitdiag.m:50-51);
-            # the estimated-gap Kato-Temple correction is strictly more
-            # careful than that semantics, not less.
+            # solve can never certify 1e-8).  Because the block covers
+            # the whole cluster (b = k + aug >= cluster size), the first
+            # ABOVE-cluster pair supplies a certified gap witness and the
+            # quadratic correction engages; a stagnated solve whose
+            # neighbors are equally unconverged gets NO witness and
+            # falls back to the linear bound (ADVICE r3 high: the
+            # previous block-spread gap estimate could exceed the true
+            # gap and turn the bound unsound).  Remaining assumption,
+            # standard for converged Krylov blocks: no eigenvalue hides
+            # between th_i and its witness without any Ritz
+            # representation.  The reference's dinf is itself an
+            # UNCERTIFIED floating-point eig value
+            # (ManiSDP_onlyunitdiag.m:50-51); this is strictly more
+            # careful than that semantics.
             AXf = mv(X, ctx)
             th_f, C_f = DeviceCertSolver._rr(X @ X.T, X @ AXf.T,
                                              1e-12, b)
@@ -531,9 +545,15 @@ class DeviceCertSolver:
             AXf = C_f.T @ AXf
             Rf = AXf - th_f[:, None] * X
             resid = jnp.linalg.norm(Rf, axis=1)
-            gap_est = jnp.maximum(th_f[-1] - th_f[0],
-                                  DeviceCertSolver.TINY)
-            corr = jnp.minimum(resid, resid * resid / gap_est)
+            up = th_f - resid                    # certified lower ends
+            BIG = DeviceCertSolver.BIG
+            cand = jnp.where(up[None, :] > (th_f + resid)[:, None],
+                             up[None, :], BIG)   # (i, j) gap witnesses
+            wit = jnp.min(cand, axis=1)          # per-i closest witness
+            gap_i = jnp.maximum(wit - th_f, DeviceCertSolver.TINY)
+            corr = jnp.where(wit < BIG,
+                             jnp.minimum(resid, resid * resid / gap_i),
+                             resid)
             s_lower = th_f - corr
             # escape-direction count: only MEANINGFULLY negative Ritz
             # values (th + corr < 0).  Counting raw sign noise (the

@@ -200,12 +200,20 @@ def make_line_search(cost_fn: Callable, renorm: Callable,
     the manifold (column-normalize / F-normalize / identity).
     """
     i_max = 15 + max_extra
-    # ls_dtype="float32": evaluate the trial COSTS in f32 (the accepted
-    # point stays f64).  The accept test compares against an absolute
-    # 1e-3 decrease (ManiSDP_unitdiag.m:144) — orders of magnitude
-    # above f32 noise for these cost scales — while a full f64 AL cost
-    # eval pays the sparse-operator pipeline (~0.3 s/eval at bqp q=60,
-    # 15 evals per outer iteration: the single largest rtr cost).
+    # ls_dtype="float32": evaluate the FIRST-15 trial COSTS in f32 (the
+    # accepted point stays f64).  That phase's accept test compares
+    # against an absolute 1e-3 decrease (ManiSDP_unitdiag.m:144) —
+    # orders of magnitude above f32 noise for these cost scales — while
+    # a full f64 AL cost eval pays the sparse-operator pipeline
+    # (~0.3 s/eval at bqp q=60, 15 evals per outer iteration: the
+    # single largest rtr cost).  The extended strict-decrease tail
+    # (i > 15) runs near convergence where the genuine decrease is
+    # BELOW f32 noise (~1e-7*|f|), so its comparisons — and the final
+    # keep/stay-put guard — always use full-precision cost evals
+    # (ADVICE r3 medium: an f32 tail can accept cost-increasing steps,
+    # re-introducing the perturbation limit cycle it exists to
+    # prevent).  The tail engages only when the 15-step phase failed to
+    # find a 1e-3 decrease, so its f64 evals are off the hot path.
     ls_dt = jnp.dtype(ls_dtype) if ls_dtype else None
 
     def line_search(Y, U, params):
@@ -218,6 +226,7 @@ def make_line_search(cost_fn: Callable, renorm: Callable,
                                      params_c).astype(jnp.float64)
         else:
             f_of = lambda P: cost_fn(P, params)
+        f_full = lambda P: cost_fn(P, params)
         f0 = f_of(Y)
 
         def trial(a):
@@ -228,8 +237,7 @@ def make_line_search(cost_fn: Callable, renorm: Callable,
 
         def cond(c):
             alpha, i, _, f = c
-            good = jnp.where(i <= 15, f - f0 <= -1e-3, f < f0)
-            return (i <= i_max) & ~good
+            return (i <= 15) & (f - f0 > -1e-3)
 
         def body(c):
             alpha, i, _, _ = c
@@ -237,11 +245,32 @@ def make_line_search(cost_fn: Callable, renorm: Callable,
             nY, f = trial(alpha)
             return (alpha, i + 1, nY, f)
 
-        _, _, nY, f = jax.lax.while_loop(
+        alpha, i, nY, f = jax.lax.while_loop(
             cond, body, (jnp.float64(1.0), jnp.int32(1), nY1, f1))
-        # if even the smallest step failed to decrease, stay put
-        return jax.tree_util.tree_map(
-            lambda a, b: jnp.where(f < f0, a, b), nY, Y)
+
+        def tail(args):
+            alpha, i, nY = args
+            f0d = f_full(Y)
+            fd = f_full(nY)
+
+            def cond2(c):
+                alpha, i, _, f = c
+                return (i <= i_max) & (f >= f0d)
+
+            def body2(c):
+                alpha, i, _, _ = c
+                alpha = 0.8 * alpha
+                nY = renorm(Y + alpha * U)
+                return (alpha, i + 1, nY, f_full(nY))
+
+            _, _, nY, f = jax.lax.while_loop(
+                cond2, body2, (alpha, i, nY, fd))
+            # if even the smallest step failed to decrease, stay put
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(f < f0d, a, b), nY, Y)
+
+        return jax.lax.cond(f - f0 <= -1e-3,
+                            lambda args: args[2], tail, (alpha, i, nY))
 
     return wrap(line_search)
 

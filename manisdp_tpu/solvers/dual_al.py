@@ -445,7 +445,8 @@ def solve_dual_al(variant_name: str, op: DualOp,
         log_iter(opt.verbose, it, obj, gap=gap, pinf=pinf, dinf=dinf,
                  gradnorm=gradnorm, r=r, p=p, sigma=sigma, t0=t0)
         history.append(dict(iter=it, obj=obj, gap=gap, pinf=pinf, dinf=dinf,
-                            gradnorm=gradnorm, r=r, p=p, sigma=sigma))
+                            gradnorm=gradnorm, r=r, p=p, sigma=sigma,
+                            tr=int(res.iters), hv=int(res.inner_iters)))
         timers.log_delta(opt.verbose)
         eta = max(gap, pinf, dinf)
         if eta < opt.tol:

@@ -120,7 +120,13 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
             z = C.quad_cols(Y)
         return z, jnp.sum(z)
 
-    if opt.cert_method == "devrr" and not use_eigh:
+    # size gate (ADVICE r3 low): the device-cert program needs
+    # n > 3 * block with block = k + deflation augmentation (the
+    # constructor raises otherwise, and lazily constructing it
+    # mid-solve would abort the iteration); small n falls through to
+    # the host-RR / eigh paths below, same as dual_al.py.
+    _b_cert = max(k, min((n - 1) // 5, 24))
+    if opt.cert_method == "devrr" and not use_eigh and n > 3 * _b_cert:
         # Fully device-resident certificate (ops/eigs_rr.DeviceCertSolver):
         # one dispatch per call; S = C - diag(z) applied as rows.  The
         # factor is padded to cert_p_bucket rows so the program compiles
@@ -177,7 +183,9 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
 
         return cert
 
-    if opt.cert_method == "rowrr" and not use_eigh:
+    if opt.cert_method in ("rowrr", "devrr") and not use_eigh:
+        # (devrr lands here when n <= 3 * block — too small for the
+        # fixed-block device program; the host-RR path has no minimum)
         # row-layout LOBPCG + host Rayleigh-Ritz (see ops/eigs_rr.py);
         # S = C - diag(z), applied as rows:  V @ C - V .* z
         from ..ops.eigs_rr import RowCertSolver

@@ -175,7 +175,11 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
 
         return cert
 
-    if opt.cert_method == "devrr" and wrap is jax.jit:
+    # size gate (ADVICE r3 low): mirror the DeviceCertSolver
+    # constructor's n > 3*(k + aug) requirement so small-n problems
+    # fall through to the host-RR path instead of raising mid-solve
+    _b_cert = max(k, min((n - 1) // 5, 24))
+    if opt.cert_method == "devrr" and wrap is jax.jit and n > 3 * _b_cert:
         # Fully device-resident certificate: ONE dispatch per call
         # (ops/eigs_rr.DeviceCertSolver) — the host-RR path below pays
         # ~3 round trips per LOBPCG iteration.  The deflation factor is
@@ -227,7 +231,9 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
 
         return cert
 
-    if opt.cert_method == "rowrr" and wrap is jax.jit:
+    if opt.cert_method in ("rowrr", "devrr") and wrap is jax.jit:
+        # (devrr lands here when n <= 3*(k + aug) — too small for the
+        # fixed-block device program; the host-RR path has no minimum)
         # Row-layout LOBPCG with host Rayleigh-Ritz (ops/eigs_rr.py):
         # the certificate's blocks stay (rows, n) like the tCG hot
         # loop — the (n, k) layout of lobpcg_standard is ~100x slower
