@@ -34,6 +34,8 @@ def solve_dual_unitdiag(A, b, c, n: int, f: int = 0,
         kw = {k: rk[k] for k in ("Xm0", "w0") if k in rk}
         if "sigma0" in rk:
             overrides.setdefault("sigma0", rk["sigma0"])
-    op = A if isinstance(A, DualOp) else DualOp.build(A, b, c, n, f, dAAt)
+    from ..ops.symdual import SymDualOp
+    op = A if isinstance(A, (DualOp, SymDualOp)) \
+        else DualOp.build(A, b, c, n, f, dAAt)
     return solve_dual_al("dual_unitdiag", op, options, Y0=Y0, **kw,
                          **overrides)
