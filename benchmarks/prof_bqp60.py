@@ -36,16 +36,26 @@ def main():
     t0 = time.time()
     Q = np.loadtxt(os.path.join(DATA, f"bqp_Q_{q}_1.txt"), delimiter=",")
     e = np.loadtxt(os.path.join(DATA, f"bqp_e_{q}_1.txt"), delimiter=",")
-    A, b, c, mb, f, dAAt = assemble_bqpsos(Q, e, q)
-    print(f"assembly: {time.time() - t0:.1f}s  n={mb} m={A.shape[0]} "
-          f"nnz={A.nnz}", flush=True)
-    maxb = np.max(np.abs(b))
-    kw = dict(f=f, dAAt=dAAt, line_search=True, verbose=2,
-              inner_dtype="tcg32", p_bucket=64, max_outer=max_outer)
+    use_sym = extra.pop("op", None) == "sym"
+    kw = dict(line_search=True, verbose=2, inner_dtype="tcg32",
+              p_bucket=64, max_outer=max_outer)
     kw.update(extra)
-    res = solve_dual_unitdiag(A, b / maxb, c, mb, **kw)
+    if use_sym:
+        from manisdp_tpu.solvers.dual_unitdiag import solve_bqp_sos_dual
+        print(f"tensor path: setup at t={time.time() - t0:.1f}s",
+              flush=True)
+        res = solve_bqp_sos_dual(Q, e, q, **kw)
+        obj_full = res.obj
+    else:
+        A, b, c, mb, f, dAAt = assemble_bqpsos(Q, e, q)
+        print(f"assembly: {time.time() - t0:.1f}s  n={mb} m={A.shape[0]} "
+              f"nnz={A.nnz}", flush=True)
+        maxb = np.max(np.abs(b))
+        kw.update(dict(f=f, dAAt=dAAt))
+        res = solve_dual_unitdiag(A, b / maxb, c, mb, **kw)
+        obj_full = res.obj * maxb
     print(f"DONE status={res.status} eta={res.eta:.3e} time={res.time:.1f}s "
-          f"obj={res.obj * maxb:.6f}", flush=True)
+          f"obj={obj_full:.6f}", flush=True)
     print("timers:", json.dumps({k: round(v, 2)
                                  for k, v in res.timers.items()}), flush=True)
     for h in res.history:

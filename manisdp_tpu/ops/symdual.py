@@ -13,11 +13,15 @@ each matrix entry (u, v) belongs to exactly one constraint row, the
 squarefree monomial class mask(u) XOR mask(v) — with unit weights and
 therefore diagonal AA'.  On the EXPANDED basis
 
-    [ 1,  x_a (a < q),  slot(i, j) := x_i * x_j  for ALL ordered (i, j) ]
+    [ 1, 1',  x_a (a < q),  q x q grid: slot(i, j) = x_i x_j (i != j),
+      slot(a, a) = x_a'  (second copies) ]
 
-(n~ = 1 + q + q^2 columns; slot(i, i) = x_i^2 = 1 duplicates the
-constant, slot(i, j)/slot(j, i) duplicate x_i x_j), the class of every
-entry is a pure index-coincidence pattern, so:
+(n~ = 2 + q + q^2 columns; every original basis column appears EXACTLY
+twice, so every monomial class receives exactly 4x the original's
+entries — uniform inflation, which makes the expanded ADMM trajectory
+track the reference's exactly under a (sigma/4, 8*tau, tolgradnorm/4)
+parameter mapping), the class of every entry is a pure
+index-coincidence pattern, so:
 
   - ``apply``  = dense symmetrizations + partial traces of the (q,q,q,q)
     Q-block tensor (plus small L/constant-block terms) — MXU einsums and
@@ -67,16 +71,24 @@ from .dualops import SparseMat
 
 
 def _blocks(M, q):
-    """Split an (n~, n~) matrix into the basis blocks."""
-    s = M[0, 0]
-    u = M[0, 1:1 + q]
-    uT = M[1:1 + q, 0]
-    E = M[0, 1 + q:].reshape(q, q)
-    F = M[1 + q:, 0].reshape(q, q)
-    G = M[1:1 + q, 1:1 + q]
-    H = M[1:1 + q, 1 + q:].reshape(q, q, q)      # H[b, i, j]
-    K = M[1 + q:, 1:1 + q].reshape(q, q, q)      # K[i, j, b]
-    T = M[1 + q:, 1 + q:].reshape(q, q, q, q)    # T[i, j, k, l]
+    """Split an (n~, n~) matrix into the basis blocks.
+
+    Layout (n~ = 2 + q + q^2): cols 0,1 = the TWO copies of the
+    constant; cols 2..2+q = x_a (first copies); the q x q Q-grid with
+    slot(i, j) = x_i x_j for i != j and slot(a, a) = the SECOND copy
+    of x_a.  Every original column thus has exactly two copies, making
+    every class size exactly 4x the original's (see _apply_tensor).
+    """
+    o = 2 + q
+    s = M[:2, :2]
+    u = M[:2, 2:o]                          # (2, q)
+    uT = M[2:o, :2]                         # (q, 2)
+    E = M[:2, o:].reshape(2, q, q)          # E[s, i, j]
+    F = M[o:, :2].reshape(q, q, 2)          # F[i, j, s]
+    G = M[2:o, 2:o]
+    H = M[2:o, o:].reshape(q, q, q)         # H[b, i, j]
+    K = M[o:, 2:o].reshape(q, q, q)         # K[i, j, b]
+    T = M[o:, o:].reshape(q, q, q, q)       # T[i, j, k, l]
     return s, u, uT, E, F, G, H, K, T
 
 
@@ -86,11 +98,14 @@ def _apply_tensor(M, q):
     Returns (y0 scalar, y1 (q,), Y2 (q,q), Y3 (q,q,q), Y4 (q,q,q,q));
     entries of Y2/Y3/Y4 at repeated indices are unspecified.
 
-    Derivation: every ordered pair of expanded columns falls in exactly
-    one index-coincidence pattern; the patterns partition into the
-    einsum terms below (diagonal slots slot(i,i) carry the empty mask,
-    so they are split out via the off-diagonal masks FIRST, making the
-    full-range einsums exact with no inclusion-exclusion corrections).
+    Every ordered pair of expanded columns falls in exactly one
+    index-coincidence pattern; the patterns partition into the einsum
+    terms below.  Because each original column has exactly two copies,
+    every class receives exactly 4x the original basis's entries —
+    the uniform inflation that makes the expanded ADMM trajectory
+    track the reference's exactly under (sigma -> sigma/4,
+    tau -> 8 tau, tolgradnorm -> tolgradnorm/4); see
+    solve_bqp_sos_dual for the mapping derivation.
     """
     s, u, uT, E, F, G, H, K, T = _blocks(M, q)
     dt = M.dtype
@@ -99,30 +114,48 @@ def _apply_tensor(M, q):
     Hn = H * moff[None, :, :]
     Kn = K * moff[:, :, None]
 
-    # -- degree 0 (class of the constant monomial) --
-    y0 = (s + jnp.trace(G) + jnp.trace(E) + jnp.trace(F)
-          + jnp.einsum('ijij->', Tn) + jnp.einsum('ijji->', Tn)
-          + jnp.einsum('iikk->', T))
+    # -- degree 0 (constant class): pairs of copies of one column --
+    y0 = (jnp.sum(s) + jnp.trace(G)
+          + jnp.einsum('aaa->', H) + jnp.einsum('aaa->', K)
+          + jnp.einsum('iiii->', T)
+          + jnp.einsum('ijij->', Tn) + jnp.einsum('ijji->', Tn))
 
     # -- degree 1: classes {a} --
-    y1 = (u + uT
-          + jnp.einsum('aii->a', H) + jnp.einsum('iia->a', Hn)
-          + jnp.einsum('jaj->a', Hn)
-          + jnp.einsum('iia->a', K) + jnp.einsum('iai->a', Kn)
-          + jnp.einsum('ajj->a', Kn))
+    # (const, x_a) across all copies, then (x_c, x_c x_a) patterns:
+    # L x Q ('iia', 'jaj'), Q x L ('iai', 'ajj'), and the Q-diag-slot
+    # copies: three-equal-index planes of T (the c = a overlap is the
+    # all-equal diagonal, subtracted once per plane).
+    y1 = (jnp.sum(u, axis=0) + jnp.sum(uT, axis=1)
+          + jnp.einsum('sii->i', E) + jnp.einsum('iis->i', F)
+          + jnp.einsum('iia->a', Hn) + jnp.einsum('jaj->a', Hn)
+          + jnp.einsum('iai->a', Kn) + jnp.einsum('ajj->a', Kn)
+          + jnp.einsum('ccca->a', T) + jnp.einsum('ccac->a', T)
+          + jnp.einsum('cacc->a', T) + jnp.einsum('accc->a', T)
+          - 4.0 * jnp.einsum('aaaa->a', T))
 
     # -- degree 2: classes {a,b} (dense; diagonal don't-care) --
-    # A4 counts the shared-index Q x Q pairs whose a-containing slot
-    # comes first; the b-first orderings are exactly its transpose.
+    # A4 counts the shared-index off-diagonal Q x Q pairs whose
+    # a-containing slot comes first; the b-first orderings are its
+    # transpose.  HD/KD/DD are the second-copy (Q-diagonal) patterns.
     A4 = (jnp.einsum('acbc->ab', Tn) + jnp.einsum('accb->ab', Tn)
           + jnp.einsum('cabc->ab', Tn) + jnp.einsum('cacb->ab', Tn))
-    Y2 = (G + G.T + E + E.T + F + F.T + A4 + A4.T
-          + jnp.einsum('iiab->ab', T) + jnp.einsum('iiba->ab', T)
-          + jnp.einsum('abkk->ab', T) + jnp.einsum('bakk->ab', T))
+    Es = jnp.sum(E, axis=0)
+    Fs = jnp.sum(F, axis=2)
+    HD = jnp.einsum('abb->ab', H)
+    KD = jnp.einsum('ccb->bc', K)
+    DD = jnp.einsum('iikk->ik', T)
+    Y2 = (G + G.T + Es + Es.T + Fs + Fs.T + A4 + A4.T
+          + HD + HD.T + KD + KD.T + DD + DD.T)
 
-    # -- degree 3: classes {a,b,c} (x_e * slot pairs, both sides) --
-    HH = Hn + jnp.swapaxes(Hn, 1, 2)
-    Ka = jnp.transpose(Kn, (2, 0, 1))
+    # -- degree 3: classes {a,b,c}: x_e (either copy) times an
+    # off-diagonal slot; the Q-diag copies ride the same symmetrizer
+    # through the diagonal planes D1/D2 of T --
+    D1n = jnp.einsum('eefg->efg', T) * moff[None, :, :]
+    D2n = jnp.einsum('fgee->fge', T) * moff[:, :, None]
+    Hp = Hn + D1n
+    Kp = Kn + D2n
+    HH = Hp + jnp.swapaxes(Hp, 1, 2)
+    Ka = jnp.transpose(Kp, (2, 0, 1))
     KK = Ka + jnp.swapaxes(Ka, 1, 2)
     S3 = HH + KK
     Y3 = (S3 + jnp.transpose(S3, (1, 0, 2)) + jnp.transpose(S3, (2, 1, 0)))
@@ -140,13 +173,14 @@ def _adjoint_tensor(y0, y1, Y2, Y3, Y4, q):
     """(n~, n~) matrix W with W[u, v] = class value of (u, v).
 
     Pure masked broadcasts — the inverse of the class map is evaluated
-    by index-coincidence selection, never by scatter.
+    by index-coincidence selection, never by scatter.  Q-grid diagonal
+    slots are the second x_a copies, so their coincidence branches
+    route to y1/Y2/Y3 instead of y0/y1/Y2.
     """
-    dt = Y4.dtype
     eye = jnp.eye(q, dtype=bool)
 
-    E_w = jnp.where(eye, y0, Y2)                       # (0, Q) block
-    G_w = jnp.where(eye, y0, Y2)                       # (L, L) block
+    E_w = jnp.where(eye, y1[:, None], Y2)     # (const, Q): diag = {i}
+    G_w = jnp.where(eye, y0, Y2)              # (L, L)
 
     # (L, Q) block H_w[b, i, j]
     b3 = jax.lax.broadcasted_iota(jnp.int32, (q, q, q), 0)
@@ -155,43 +189,58 @@ def _adjoint_tensor(y0, y1, Y2, Y3, Y4, q):
     y1_b = y1[:, None, None]
     y1_i = y1[None, :, None]
     y1_j = y1[None, None, :]
-    H_w = jnp.where(i3 == j3, y1_b,
+    Y2_bi = Y2[:, :, None]
+    H_w = jnp.where(i3 == j3,
+                    jnp.where(b3 == i3, y0, Y2_bi),      # (x_b, x_i copy)
                     jnp.where(b3 == i3, y1_j,
                               jnp.where(b3 == j3, y1_i, Y3)))
 
-    # (Q, Q) block T_w[i, j, k, l] — priority: diagonal-slot patterns,
-    # then equal pairs, then single shared index, else all-distinct.
+    # (Q, Q) block T_w[i, j, k, l]
     i4 = jax.lax.broadcasted_iota(jnp.int32, (q, q, q, q), 0)
     j4 = jax.lax.broadcasted_iota(jnp.int32, (q, q, q, q), 1)
     k4 = jax.lax.broadcasted_iota(jnp.int32, (q, q, q, q), 2)
     l4 = jax.lax.broadcasted_iota(jnp.int32, (q, q, q, q), 3)
-    Y2_kl = Y2[None, None, :, :]
-    Y2_ij = Y2[:, :, None, None]
-    Y2_jl = Y2[None, :, None, :]
-    Y2_jk = Y2[None, :, :, None]
-    Y2_il = Y2[:, None, None, :]
     Y2_ik = Y2[:, None, :, None]
+    Y2_il = Y2[:, None, None, :]
+    Y2_jk = Y2[None, :, :, None]
+    Y2_jl = Y2[None, :, None, :]
+    y1_l4 = y1[None, None, None, :]
+    y1_k4 = y1[None, None, :, None]
+    y1_j4 = y1[None, :, None, None]
+    y1_i4 = y1[:, None, None, None]
+    Y3_ikl = Y3[:, None, :, :]                 # value Y3[i, k, l]
+    Y3_ijk = Y3[:, :, :, None]                 # value Y3[i, j, k]
     fd = i4 == j4
     sd = k4 == l4
     same = ((i4 == k4) & (j4 == l4)) | ((i4 == l4) & (j4 == k4))
     T_w = jnp.where(
-        fd & sd, y0,
-        jnp.where(fd, Y2_kl,
-                  jnp.where(sd, Y2_ij,
-                            jnp.where(same, y0,
-                                      jnp.where(i4 == k4, Y2_jl,
-                                                jnp.where(i4 == l4, Y2_jk,
-                                                          jnp.where(j4 == k4, Y2_il,
-                                                                    jnp.where(j4 == l4, Y2_ik,
-                                                                              Y4))))))))
+        fd & sd,
+        jnp.where(i4 == k4, y0, Y2_ik),        # (x_i copy, x_k copy)
+        jnp.where(
+            fd,                                # (x_i copy, x_k x_l)
+            jnp.where(i4 == k4, y1_l4,
+                      jnp.where(i4 == l4, y1_k4, Y3_ikl)),
+            jnp.where(
+                sd,                            # (x_i x_j, x_k copy)
+                jnp.where(k4 == i4, y1_j4,
+                          jnp.where(k4 == j4, y1_i4, Y3_ijk)),
+                jnp.where(same, y0,
+                          jnp.where(i4 == k4, Y2_jl,
+                                    jnp.where(i4 == l4, Y2_jk,
+                                              jnp.where(j4 == k4, Y2_il,
+                                                        jnp.where(j4 == l4, Y2_ik,
+                                                                  Y4))))))))
 
-    row0 = jnp.concatenate([y0[None], y1, E_w.reshape(-1)])
-    rowsL = jnp.concatenate([y1[:, None], G_w, H_w.reshape(q, q * q)],
-                            axis=1)
-    rowsQ = jnp.concatenate([E_w.reshape(-1, 1),
+    two = jnp.ones((2,), dtype=Y4.dtype)
+    rowsC = jnp.concatenate([
+        jnp.full((2, 2), y0, dtype=Y4.dtype), two[:, None] * y1[None, :],
+        two[:, None] * E_w.reshape(1, -1)], axis=1)
+    rowsL = jnp.concatenate([y1[:, None] * two[None, :], G_w,
+                             H_w.reshape(q, q * q)], axis=1)
+    rowsQ = jnp.concatenate([E_w.reshape(-1, 1) * two[None, :],
                              jnp.transpose(H_w, (1, 2, 0)).reshape(q * q, q),
                              T_w.reshape(q * q, q * q)], axis=1)
-    return jnp.concatenate([row0[None], rowsL, rowsQ], axis=0)
+    return jnp.concatenate([rowsC, rowsL, rowsQ], axis=0)
 
 
 def _flatten(y0, y1, Y2, Y3, Y4):
@@ -240,6 +289,21 @@ class SymDualOp:
     def y_step(self, S):
         return self.idAAt * (self.apply(S) - self.Ac)
 
+    def symmetrize(self, Y, renorm: bool = True):
+        """Project a (p, n~) factor onto the slot-symmetric subspace
+        (duplicate copies averaged), optionally renormalizing columns.
+
+        On this subspace the expanded ADMM reproduces the reference
+        trajectory EXACTLY (see solve_bqp_sos_dual); off it, the
+        asymmetric modes see only the weak sigma-scale entrywise
+        penalty, the inner RTR stalls at ~100x higher gradnorm and the
+        sigma controller limit-cycles (observed at q = 60).  Random
+        inits and accumulated f32 tCG noise leave the subspace, so the
+        driver calls this once per outer iteration — pure transposes,
+        diagonal extracts and block concats, no gathers.
+        """
+        return _symmetrize_jit(jnp.asarray(Y), self.q, bool(renorm))
+
     # ---- construction ---------------------------------------------------
     @staticmethod
     def build_bqpsos(Q: np.ndarray, e: np.ndarray, q: int) -> "SymDualOp":
@@ -252,7 +316,7 @@ class SymDualOp:
         """
         Q = np.asarray(Q, dtype=np.float64)
         e = np.asarray(e, dtype=np.float64).ravel()
-        nn = 1 + q + q * q
+        nn = 2 + q + q * q
         flat_m = 1 + q + q ** 2 + q ** 3 + q ** 4
         m_true = _num_classes(q)
 
@@ -264,20 +328,25 @@ class SymDualOp:
             [np.trace(Q)], b1, B2.reshape(-1),
             np.zeros(q ** 3), np.zeros(q ** 4)])
 
-        # class-size vector dAAt = apply(ones); repeated-index slots
-        # are don't-care -> force 1 to keep idAAt finite
-        ones = jnp.ones((nn, nn), dtype=jnp.float64)
-        dAAt = np.array(_flatten(*_apply_tensor(ones, q)))
+        # every class size is exactly 4x the original basis's
+        # (two copies per column; validated against the expanded
+        # sparse bincount in tests/test_symdual.py): the original
+        # sizes are mb (deg 0, all-diagonal), 2q (deg 1 and 2), and 6
+        # (deg 3 and 4) — src/basicfunction/bqpsos.m:17-31.  Setup
+        # stays pure numpy: jitting the tensor ops here would pay
+        # ~270 s of remote compiles before the solve even starts.
+        d0 = 4.0 * (1 + q + q * (q - 1) // 2)
+        d1 = 8.0 * q
+        d2 = 8.0 * q
+        dAAt = np.concatenate([
+            [d0], np.full(q, d1), np.full(q * q, d2),
+            np.full(q ** 3, 24.0), np.full(q ** 4, 24.0)])
         dAAt[_dontcare_mask(q)] = 1.0
-
-        # class-valued flat b (slot value = full class coefficient) for
-        # the bA precompute: bA = mat(A' (b / dAAt))
-        bc2 = 2.0 * B2
-        b_class = np.concatenate([
-            [np.trace(Q)], b1, bc2.reshape(-1),
-            np.zeros(q ** 3), np.zeros(q ** 4)])
         idAAt = 1.0 / dAAt
-        bA = _adjoint_tensor(*_split(jnp.asarray(b_class * idAAt), q), q)
+
+        # bA = mat(A' (b / dAAt)): b has support only up to degree 2,
+        # so the adjoint broadcast needs no q^4 tensor — numpy suffices
+        bA = _adjoint_np_deg2(np.trace(Q) / d0, e / d1, 2.0 * B2 / d2, q)
 
         # NO free lower-bound block: on the expanded basis the dual
         # constraint it would impose (y_0 = 1) is already pinned by the
@@ -299,9 +368,87 @@ class SymDualOp:
             q=q, m=flat_m, n=nn, f=0, m_true=m_true)
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _symmetrize_jit(Y, q: int, renorm: bool):
+    o = 2 + q
+    c = 0.5 * (Y[:, 0] + Y[:, 1])
+    L = Y[:, 2:o]
+    Qb = Y[:, o:].reshape(-1, q, q)
+    d = jnp.einsum('pii->pi', Qb)
+    La = 0.5 * (L + d)
+    Qs = 0.5 * (Qb + jnp.swapaxes(Qb, 1, 2))
+    eye = jnp.eye(q, dtype=Y.dtype)
+    Qs = Qs * (1.0 - eye)[None] + La[:, :, None] * eye[None]
+    out = jnp.concatenate(
+        [c[:, None], c[:, None], La, Qs.reshape(Y.shape[0], q * q)],
+        axis=1)
+    if renorm:
+        nrm = jnp.linalg.norm(out, axis=0, keepdims=True)
+        out = out / jnp.maximum(nrm, 1e-30)
+    return out
+
+
 def _num_classes(q: int) -> int:
     from math import comb
     return 1 + q + comb(q, 2) + comb(q, 3) + comb(q, 4)
+
+
+def _adjoint_np_deg2(y0: float, y1: np.ndarray, Y2: np.ndarray,
+                     q: int) -> np.ndarray:
+    """Host-numpy adjoint for multipliers supported on degree <= 2
+    (Y3 = Y4 = 0) — the bA precompute.  Same class map as
+    _adjoint_tensor; patterns are written lowest-priority first so
+    later writes win, avoiding the q^4 where-chain temporaries."""
+    Y2 = np.asarray(Y2, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    eye = np.eye(q, dtype=bool)
+    E_w = np.where(eye, y1[:, None], Y2)
+    G_w = np.where(eye, y0, Y2)
+
+    H_w = np.zeros((q, q, q))
+    for c in range(q):
+        H_w[c, :, c] = y1              # b == j  -> y1[i]
+    for c in range(q):
+        H_w[c, c, :] = y1              # b == i  -> y1[j]
+    for c in range(q):
+        H_w[:, c, c] = Y2[:, c]        # i == j  -> (x_b, x_i copy)
+    ii = np.arange(q)
+    H_w[ii, ii, ii] = y0
+
+    T_w = np.zeros((q, q, q, q))
+    for c in range(q):
+        T_w[:, c, :, c] = Y2           # j == l -> Y2[i, k]
+    for c in range(q):
+        T_w[:, c, c, :] = Y2           # j == k -> Y2[i, l]
+    for c in range(q):
+        T_w[c, :, :, c] = Y2           # i == l -> Y2[j, k]
+    for c in range(q):
+        T_w[c, :, c, :] = Y2           # i == k -> Y2[j, l]
+    i2, j2 = np.meshgrid(ii, ii, indexing="ij")
+    T_w[i2, j2, i2, j2] = y0           # same pair
+    T_w[i2, j2, j2, i2] = y0
+    for c in range(q):
+        T_w[:, :, c, c] = 0.0          # (x_i x_j, x_k copy): Y3 = 0
+        T_w[c, c, :, :] = 0.0          # (x_i copy, x_k x_l): Y3 = 0
+    for c in range(q):
+        T_w[:, c, c, c] = y1           # sd, k == j -> y1[i]
+        T_w[c, :, c, c] = y1           # sd, k == i -> y1[j]
+        T_w[c, c, :, c] = y1           # fd, i == l -> y1[k]
+        T_w[c, c, c, :] = y1           # fd, i == k -> y1[l]
+    T_w[i2, i2, j2, j2] = Y2           # (x_i copy, x_k copy)
+    T_w[ii, ii, ii, ii] = y0
+
+    rowsC = np.concatenate([np.full((2, 2), y0),
+                            np.broadcast_to(y1, (2, q)),
+                            np.broadcast_to(E_w.reshape(-1), (2, q * q))],
+                           axis=1)
+    rowsL = np.concatenate([np.broadcast_to(y1[:, None], (q, 2)), G_w,
+                            H_w.reshape(q, q * q)], axis=1)
+    rowsQ = np.concatenate([np.broadcast_to(E_w.reshape(-1, 1),
+                                            (q * q, 2)),
+                            np.transpose(H_w, (1, 2, 0)).reshape(q * q, q),
+                            T_w.reshape(q * q, q * q)], axis=1)
+    return np.concatenate([rowsC, rowsL, rowsQ], axis=0)
 
 
 def _dontcare_mask(q: int) -> np.ndarray:
@@ -317,13 +464,16 @@ def _dontcare_mask(q: int) -> np.ndarray:
 
 def expanded_masks(q: int) -> np.ndarray:
     """Monomial bitmask of every expanded basis column (host helper for
-    the validation generator and tests)."""
+    the validation generator and tests).  Layout: two constants, the
+    x_a first copies, then the q x q grid whose diagonal holds the
+    x_a SECOND copies."""
     assert q <= 62
-    masks = np.zeros(1 + q + q * q, dtype=np.uint64)
-    masks[1:1 + q] = 1 << np.arange(q, dtype=np.uint64)
+    masks = np.zeros(2 + q + q * q, dtype=np.uint64)
+    masks[2:2 + q] = 1 << np.arange(q, dtype=np.uint64)
     ii, jj = np.meshgrid(np.arange(q), np.arange(q), indexing="ij")
-    masks[1 + q:] = ((1 << ii.astype(np.uint64)) ^
-                     (1 << jj.astype(np.uint64))).reshape(-1)
+    qm = (1 << ii.astype(np.uint64)) ^ (1 << jj.astype(np.uint64))
+    qm[np.arange(q), np.arange(q)] = 1 << np.arange(q, dtype=np.uint64)
+    masks[2 + q:] = qm.reshape(-1)
     return masks
 
 
@@ -339,7 +489,7 @@ def bqpsos_expanded_sparse(Q: np.ndarray, e: np.ndarray, q: int):
 
     Q = np.asarray(Q, dtype=np.float64)
     e = np.asarray(e, dtype=np.float64).ravel()
-    nn = 1 + q + q * q
+    nn = 2 + q + q * q
     sp4 = monomial_basis(q, 4, max_power=1)
     lsp = sp4.shape[1]
     pow2 = (1 << np.arange(q, dtype=np.uint64))

@@ -368,6 +368,15 @@ def solve_dual_al(variant_name: str, op: DualOp,
     else:
         key, sub = jax.random.split(key)
         Y = M.rand(sub, p, n, p_pad)
+    # operators over a redundant basis (ops/symdual.SymDualOp) supply a
+    # symmetrize hook: the init, every rebuilt factor, and every escape
+    # direction are projected onto the duplicate-symmetric subspace,
+    # where the expanded dynamics reproduce the reference trajectory
+    # (asymmetric drift from random inits / f32 tCG noise otherwise
+    # stalls the inner solve and limit-cycles the sigma controller)
+    symmetrize = getattr(op, "symmetrize", None)
+    if symmetrize is not None:
+        Y = symmetrize(Y)
     U_dir = None
 
     Xm = jnp.zeros((n, n)) if Xm0 is None else jnp.asarray(Xm0)
@@ -489,6 +498,10 @@ def solve_dual_al(variant_name: str, op: DualOp,
         p_pad = max(p_pad, bucketed(p, opt.p_bucket))
         Y = jnp.asarray(pad_rows(Y_host, p_pad))
         U_dir = pad_rows(U_host, p_pad) if U_host is not None else None
+        if symmetrize is not None:
+            Y = symmetrize(Y)
+            if U_dir is not None:
+                U_dir = symmetrize(U_dir, renorm=False)
 
         if pinf < opt.tau1 * gradnorm:
             sigma = max(sigma / opt.gama, opt.sigma_min)
