@@ -1,38 +1,47 @@
 #!/usr/bin/env python
-"""Benchmark harness: per-workload JSON lines + one final summary line.
+"""Benchmark harness: per-workload JSON lines + a RUNNING suite-geomean
+line after every row (the driver records the LAST complete JSON line,
+so even a timeout-truncated run always carries a geomean — VERDICT r3
+item 2).
 
-Workloads (BENCH_SET=full, the default), fastest-first so a budget
-truncation still records most rows (VERDICT r2 item 2):
+Workloads (fastest-first so truncation keeps most rows):
 
-  - maxcut_G1   : Gset G1 (n=800) wall-clock to KKT<=1e-8.  Baseline 3.0 s
-                  (Wang-Hu, J. Sci. Comput. 2025 Gset table, desktop CPU).
-  - mc_n2000 / mc_n4000 : trace-min matrix completion
-                  (example_matrixcompletion.m builds X of size n = p + q
-                  with p = q; data/results.txt's "n" is p + q).  MEASURED
-                  references: n=2000 -> 9.05 s (results.txt:2), n=4000
-                  -> 48.7 s (results.txt:4).  NOTE round 2 labeled the
-                  n=4000 instance "mc_n2000" and scored it against the
-                  9.05 s row — a 5x mislabel against ourselves, fixed
-                  here.
-  - maxcut_G67  : Gset G67 (n=10000).  No published MATLAB number; baseline
-                  240 s is a measured LOWER BOUND (per-outer-iteration full
-                  eig(S) at n=10^4, ManiSDP_onlyunitdiag.m:50 — see
-                  BASELINE.md "G67 derivation" for the arithmetic).
-  - bqp60_dual  : SOS dual of BQP q=60, instance 1 (example_bqp_dual.m);
-                  MEASURED reference 134 s (data/dual.txt:16).
+  - maxcut_G1    : Gset G1 (n=800).  Baseline 3.0 s (Wang-Hu
+                   J. Sci. Comput. 2025 Gset table, desktop CPU;
+                   baseline_measured false).
+  - mc_n2000/4000: trace-min matrix completion, MEASURED references
+                   9.05 s / 48.7 s (data/results.txt:2,4).
+  - bqp_q30_dual : SOS dual of BQP q=30 instance 1 via the gather-free
+                   tensor operator (ops/symdual.py).  The reference's
+                   own ManiDSDP table solves d=30 in 0.87 s
+                   (data/bqp_result.txt:23, instance/machine
+                   unspecified); the per-instance experiment logs show
+                   19 s (data/dual.txt:9).  Baseline = 19 s
+                   (measured), alternatives recorded in extra.
+  - maxcut_G67   : Gset G67 (n=10000), THREE in-process trials —
+                   median reported, min/max in extra (VERDICT r3
+                   item 9).  Baseline 240 s is a derived lower bound
+                   (BASELINE.md "G67 derivation").
+  - bqp_q60_dual : SOS dual of BQP q=60 instance 1, tensor operator.
+                   Baseline 134 s per VERDICT r3 item 1
+                   (data/dual.txt:16 row 1); NOTE the reference's own
+                   ManiDSDP table reports 20.5 s for d=60
+                   (data/bqp_result.txt:26) — recorded in extra as
+                   the strictest alternative.
 
-Each workload runs TWICE in-process and the reported value is the
-SECOND (warm) run — the scheme VERDICT r2 item 2 sanctions ("time both
-runs, report the second").  The first (cold) run pays the axon REMOTE
-compiles — 30-90 s per program shape, an artifact of this environment's
-tunneled compiler that no real TPU deployment pays (local XLA compiles
-+ a working persistent cache) — and is reported alongside as
-``extra.cold_s`` for full transparency.  The reference's MATLAB JIT
-warm-up is likewise excluded from its published numbers.
-BENCH_BUDGET_S (default 3300) bounds the suite: a workload whose
-estimated cost exceeds the remaining budget is SKIPPED with an explicit
-JSON row, and the warm re-run is skipped (cold time reported) when the
-budget cannot fit it.  BENCH_SET=g1 runs only G1.
+Each workload runs TWICE in-process; the reported value is the SECOND
+(warm) run's SOLVER-INTERNAL time (SDPResult.time — the reference
+starts its clock inside the solver after assembly, ManiSDP.m:52, and
+its published numbers exclude MATLAB JIT warmup likewise).  Metric
+names carry the "warmsolve" tag to make that explicit (ADVICE r3).
+The first (cold) run pays the axon remote compiles (30-90 s per
+program shape, an artifact of this environment's tunneled compiler)
+and is reported as extra.cold_s.
+
+BENCH_BUDGET_S (default 1500) bounds the suite: a workload whose
+estimated cost exceeds the remaining budget is SKIPPED with an
+explicit JSON row; the warm re-run is skipped when the budget cannot
+fit it.  BENCH_SET=g1 runs only G1.
 """
 
 import json
@@ -43,20 +52,19 @@ import time
 GSET = os.environ.get("BENCH_GSET_DIR", "/root/reference/data/Gset")
 DATA = os.environ.get("BENCH_DATA_DIR", "/root/reference/data")
 BENCH_SET = os.environ.get("BENCH_SET", "full")
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "3300"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 T0 = time.time()
+
+# a warm run re-executes the solve with every program compiled; the
+# dominant cold cost is compiles, so estimate warm at this fraction
+WARM_FRACTION = float(os.environ.get("BENCH_WARM_FRACTION", "0.6"))
+
+ROWS = []
 
 
 def _timed_runs(solve):
     """Cold run + (budget permitting) warm run.  Returns
-    (reported_seconds, res, cold_seconds, warm).
-
-    The reported seconds are the solver-internal elapsed time
-    (SDPResult.time), matching the reference's convention exactly: every
-    ManiSDP driver starts its clock INSIDE the solver after problem
-    assembly (``timespend = tic``, ManiSDP.m:52) and data/results.txt
-    reports that clock.  Wall-clock around the call (including operator
-    construction) is kept in ``extra``."""
+    (reported_seconds, res, cold_seconds, warm)."""
     t0 = time.time()
     res = solve()
     cold = time.time() - t0
@@ -65,11 +73,6 @@ def _timed_runs(solve):
         return res.time, res, cold, False
     res = solve()
     return res.time, res, cold, True
-
-
-# a warm run re-executes the solve with every program compiled; the
-# dominant cold cost is compiles, so estimate warm at this fraction
-WARM_FRACTION = float(os.environ.get("BENCH_WARM_FRACTION", "0.6"))
 
 
 def _emit(metric, seconds, baseline, res, measured_baseline, extra=None):
@@ -92,19 +95,60 @@ def _emit(metric, seconds, baseline, res, measured_baseline, extra=None):
         },
     }
     print(json.dumps(out), flush=True)
+    ROWS.append(out)
+    _emit_geomean()
     return out
 
 
-def bench_maxcut(graph, baseline, measured):
+def _emit_geomean():
+    """Running geomean row — re-emitted after every workload so the
+    LAST complete JSON line is always the current suite summary."""
+    if not ROWS:
+        return
+    geo = 1.0
+    for r in ROWS:
+        geo *= r["vs_baseline"]
+    geo = geo ** (1.0 / len(ROWS))
+    print(json.dumps({
+        "metric": "suite_geomean_speedup_vs_reference",
+        "value": round(geo, 3),
+        "unit": "x",
+        "vs_baseline": round(geo, 3),
+        "extra": {"n_workloads": len(ROWS), "workloads": {
+            r["metric"]: {"s": r["value"],
+                          "vs_baseline": r["vs_baseline"],
+                          "status": r["extra"]["status"],
+                          "baseline_measured":
+                              r["extra"]["baseline_measured"]}
+            for r in ROWS}},
+    }), flush=True)
+
+
+def bench_maxcut(graph, baseline, measured, trials=1):
     from manisdp_tpu import solve_maxcut_unitdiag
     from manisdp_tpu.frontends.gset import maxcut_cost
     C = maxcut_cost(os.path.join(GSET, f"{graph}.txt"))
-    dt, res, cold, warm = _timed_runs(
-        lambda: solve_maxcut_unitdiag(C, p0=40, verbose=False))
-    return _emit(f"maxcut_{graph}_wallclock_to_kkt1e-8", dt, baseline,
-                 res, measured,
-                 extra={"rtr_iters_per_s": round(res.rtr_iters / dt, 2),
-                        "cold_s": round(cold, 2), "warm_run": warm})
+    solve = lambda: solve_maxcut_unitdiag(C, p0=40, verbose=False)
+    dt, res, cold, warm = _timed_runs(solve)
+    times = [dt]
+    for _ in range(trials - 1):
+        left = BUDGET_S - (time.time() - T0)
+        if left < 1.3 * dt:
+            break
+        r2 = solve()
+        times.append(r2.time)
+        if r2.time <= sorted(times)[len(times) // 2]:
+            res = r2
+    times_s = sorted(times)
+    med = times_s[len(times_s) // 2]
+    extra = {"rtr_iters_per_s": round(res.rtr_iters / med, 2),
+             "cold_s": round(cold, 2), "warm_run": warm}
+    if len(times) > 1:
+        extra["trials_s"] = [round(t, 2) for t in times]
+        extra["trial_min_s"] = round(times_s[0], 2)
+        extra["trial_max_s"] = round(times_s[-1], 2)
+    return _emit(f"maxcut_{graph}_warmsolve_to_kkt1e-8", med, baseline,
+                 res, measured, extra=extra)
 
 
 def bench_mc(p=1000, baseline=9.05):
@@ -121,82 +165,59 @@ def bench_mc(p=1000, baseline=9.05):
     dt, res, cold, warm = _timed_runs(
         lambda: solve_sdp(data.At, data.b, data.c, data.K.s,
                           verbose=False, **kw))
-    return _emit(f"mc_n{2 * p}_wallclock_to_kkt1e-8", dt, baseline, res,
+    return _emit(f"mc_n{2 * p}_warmsolve_to_kkt1e-8", dt, baseline, res,
                  True, extra={"cold_s": round(cold, 2), "warm_run": warm})
 
 
-def bench_bqp60_dual(baseline=134.0):
+def bench_bqp_dual(q, baseline, alt_baselines, est_iters=30):
     import numpy as np
-    from manisdp_tpu.frontends.sos import assemble_bqpsos
-    from manisdp_tpu.solvers.dual_unitdiag import solve_dual_unitdiag
-    q = 60
+    from manisdp_tpu.solvers.dual_unitdiag import solve_bqp_sos_dual
     Q = np.loadtxt(os.path.join(DATA, f"bqp_Q_{q}_1.txt"), delimiter=",")
     e = np.loadtxt(os.path.join(DATA, f"bqp_e_{q}_1.txt"), delimiter=",")
-    A, b, c, mb, f, dAAt = assemble_bqpsos(Q, e, q)
-    maxb = np.max(np.abs(b))
-    # p_bucket=64: the +8-escape rank ramp (reference behavior,
-    # ManiDSDP_unitdiag.m:117-121) crosses a 16-bucket every other
-    # iteration — 8 RTR recompiles at 30-90 s each on the remote
-    # compiler.  A 64-bucket pays slightly larger matmuls for 4x fewer
-    # program shapes.
-    kw = dict(f=f, dAAt=dAAt, line_search=True, verbose=False,
-              inner_dtype="tcg32", p_bucket=64)
+    kw = dict(line_search=True, verbose=False, inner_dtype="tcg32",
+              p_bucket=64)
     dt, res, cold, warm = _timed_runs(
-        lambda: solve_dual_unitdiag(A, b / maxb, c, mb, **kw))
-    return _emit("bqp_q60_dual_wallclock_to_kkt1e-8", dt, baseline, res,
-                 True, extra={"n": mb, "cold_s": round(cold, 2),
-                              "warm_run": warm})
+        lambda: solve_bqp_sos_dual(Q, e, q, **kw))
+    return _emit(f"bqp_q{q}_dual_warmsolve_to_kkt1e-8", dt, baseline,
+                 res, True,
+                 extra={"n_expanded": 2 + q + q * q,
+                        "alt_baselines_s": alt_baselines,
+                        "cold_s": round(cold, 2), "warm_run": warm})
 
 
 def main():
-    rows = []
-
-    def run(fn, est_s, *args):
-        """One workload; isolate failures AND honor the budget."""
+    def run(fn, est_s, *args, **kwargs):
         left = BUDGET_S - (time.time() - T0)
         if est_s > left:
             print(json.dumps({
                 "metric": f"{fn.__name__}_SKIPPED",
                 "reason": f"estimated {est_s:.0f}s exceeds remaining "
-                          f"budget {left:.0f}s (BENCH_BUDGET_S={BUDGET_S:.0f})",
+                          f"budget {left:.0f}s "
+                          f"(BENCH_BUDGET_S={BUDGET_S:.0f})",
             }), flush=True)
+            _emit_geomean()
             return
         try:
-            rows.append(fn(*args))
+            fn(*args, **kwargs)
         except Exception as e:          # pragma: no cover
             print(json.dumps({"metric": f"{fn.__name__}_FAILED",
                               "error": repr(e)[:200]}), flush=True)
+            _emit_geomean()
 
-    # (estimated seconds incl. problem generation, warm compile cache)
     if BENCH_SET == "g1":
         run(bench_maxcut, 30, "G1", 3.0, False)
     else:
-        run(bench_maxcut, 30, "G1", 3.0, False)
-        run(bench_mc, 60, 1000, 9.05)
-        run(bench_mc, 150, 2000, 48.7)
-        run(bench_maxcut, 200, "G67", 240.0, False)
-        run(bench_bqp60_dual, 700)
-    if not rows:
+        run(bench_maxcut, 60, "G1", 3.0, False)
+        run(bench_mc, 100, 1000, 9.05)
+        run(bench_mc, 180, 2000, 48.7)
+        run(bench_bqp_dual, 120, 30, 19.0,
+            {"dual_txt_row1": 35.0, "manidsdp_table_d30": 0.87})
+        run(bench_maxcut, 260, "G67", 240.0, False, trials=3)
+        run(bench_bqp_dual, 500, 60, 134.0,
+            {"dual_txt_row2": 37.0, "manidsdp_table_d60": 20.5})
+    if not ROWS:
         print(json.dumps({"metric": "bench_failed", "value": 0.0,
                           "unit": "x", "vs_baseline": 0.0}))
-        return
-
-    speedups = [r["vs_baseline"] for r in rows]
-    geo = 1.0
-    for s in speedups:
-        geo *= s
-    geo = geo ** (1.0 / len(speedups))
-    print(json.dumps({
-        "metric": "suite_geomean_speedup_vs_reference",
-        "value": round(geo, 3),
-        "unit": "x",
-        "vs_baseline": round(geo, 3),
-        "extra": {"workloads": {r["metric"]: {
-            "s": r["value"], "vs_baseline": r["vs_baseline"],
-            "status": r["extra"]["status"],
-            "baseline_measured": r["extra"]["baseline_measured"]}
-            for r in rows}},
-    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -272,11 +272,15 @@ class SymDualOp:
     bA: jax.Array              # (n, n) dense mat(A' D^{-1} b)
     Ac: jax.Array              # (m,) flat A @ vec(C)
     B: SparseMat
+    rep_lin: jax.Array          # (n_orig^2,) flat indices of rep slots
+    dup0: jax.Array             # (n_orig,) first copy column of each
+    dup1: jax.Array             # (n_orig,) second copy column
     q: int = dataclasses.field(metadata=dict(static=True))
     m: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
     f: int = dataclasses.field(metadata=dict(static=True))
     m_true: int = dataclasses.field(metadata=dict(static=True))
+    n_orig: int = dataclasses.field(metadata=dict(static=True))
 
     # ---- DualOp-compatible surface --------------------------------------
     def apply(self, M):
@@ -303,6 +307,34 @@ class SymDualOp:
         diagonal extracts and block concats, no gathers.
         """
         return _symmetrize_jit(jnp.asarray(Y), self.q, bool(renorm))
+
+    def compress(self, M_dev):
+        """Original-basis (n_orig x n_orig) matrix from an expanded
+        one: read the representative slots and undo the 1/4 lift
+        scaling.  ONE n_orig^2 gather per call — used once per outer
+        iteration by the exact certificate, never in the hot loop."""
+        flat = jnp.take(jnp.reshape(M_dev, (-1,)), self.rep_lin)
+        return 4.0 * flat.reshape(self.n_orig, self.n_orig)
+
+    def lift_vecs(self, V: np.ndarray) -> np.ndarray:
+        """Host lift of original-basis (n_orig, k) eigenvectors into
+        unit expanded vectors (each copy slot gets v/sqrt(2))."""
+        out = np.zeros((self.n, V.shape[1]), dtype=V.dtype)
+        s = np.asarray(V) / np.sqrt(2.0)
+        out[np.asarray(self.dup0)] = s
+        out[np.asarray(self.dup1)] = s
+        return out
+
+    def symmetrize_mat(self, M):
+        """Project an (n~, n~) matrix (the ADMM multiplier / primal
+        recovery) onto the duplicate-symmetric subspace: average over
+        each entry's 4-element copy orbit, i.e. the column projector
+        applied along both axes.  Without this the multiplier
+        accumulates asymmetric components that shift the AL stationary
+        point off-subspace and floor pinf at the junk's magnitude
+        (observed ~0.5-1 at q = 60 after ~40 outer iterations)."""
+        M = _symmetrize_jit(jnp.asarray(M), self.q, False)
+        return _symmetrize_jit(M.T, self.q, False).T
 
     # ---- construction ---------------------------------------------------
     @staticmethod
@@ -360,12 +392,29 @@ class SymDualOp:
         import scipy.sparse as sp
         Bmat = SparseMat.from_scipy(sp.coo_matrix((flat_m, 0)))
 
+        # original <-> expanded column maps (for the exact compressed
+        # certificate): original basis order [1, x_a, x_{ab} (a<b,
+        # column-major)], matching frontends/sos.bqpsos
+        o = 2 + q
+        iu, ju = np.triu_indices(q, k=1)
+        order = np.lexsort((iu, ju))
+        pa, pb = iu[order], ju[order]
+        rep = np.concatenate([[0], 2 + np.arange(q), o + pa * q + pb])
+        dup = np.concatenate([[1], o + np.arange(q) * (q + 1),
+                              o + pb * q + pa])
+        n_orig = rep.shape[0]
+        rep_lin = (rep[:, None].astype(np.int64) * nn +
+                   rep[None, :]).reshape(-1)
+
         return SymDualOp(
             b=jnp.asarray(b_flat), cf=jnp.zeros(0, dtype=jnp.float64),
             C=jnp.zeros((nn, nn), dtype=jnp.float64),
             idAAt=jnp.asarray(idAAt), bA=jnp.asarray(bA),
             Ac=jnp.zeros(flat_m, dtype=jnp.float64), B=Bmat,
-            q=q, m=flat_m, n=nn, f=0, m_true=m_true)
+            rep_lin=jnp.asarray(rep_lin, dtype=jnp.int32),
+            dup0=jnp.asarray(rep, dtype=jnp.int32),
+            dup1=jnp.asarray(dup, dtype=jnp.int32),
+            q=q, m=flat_m, n=nn, f=0, m_true=m_true, n_orig=n_orig)
 
 
 @partial(jax.jit, static_argnums=(1, 2))

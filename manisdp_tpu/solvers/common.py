@@ -248,6 +248,25 @@ def make_line_search(cost_fn: Callable, renorm: Callable,
         alpha, i, nY, f = jax.lax.while_loop(
             cond, body, (jnp.float64(1.0), jnp.int32(1), nY1, f1))
 
+        import os as _os
+        if _os.environ.get("MANISDP_LS_TAIL") == "noisy32":
+            # debugging switch: the pre-round-4 tail (strict decrease
+            # in the line-search eval dtype, f32 noise and all)
+            def cond_o(c):
+                alpha, i, _, f = c
+                return (i <= i_max) & (f >= f0)
+
+            def body_o(c):
+                alpha, i, _, _ = c
+                alpha = 0.8 * alpha
+                nY2, f2 = trial(alpha)
+                return (alpha, i + 1, nY2, f2)
+
+            _, _, nYo, fo = jax.lax.while_loop(
+                cond_o, body_o, (alpha, i, nY, f))
+            return jax.tree_util.tree_map(
+                lambda a, b2: jnp.where(fo < f0, a, b2), nYo, Y)
+
         def tail(args):
             alpha, i, nY = args
             f0d = f_full(Y)

@@ -245,7 +245,37 @@ def solve_dual_al(variant_name: str, op: DualOp,
     # would otherwise shadow this before the jitted closures trace,
     # silently gating the f32 LOBPCG pre-stage on inner_dtype
     # (ADVICE r2, high).
-    if opt.cert_method == "devrr" and n > 3 * k_cert:
+    # Exact certificate in the COMPRESSED original basis for expanded
+    # (duplicated) operators: at the optimum the expanded primal X~ has
+    # an (n~ - rank)-fold ZERO cluster that no iterative residual
+    # bound can certify below 1e-8 (the LOBPCG dinf floors at its
+    # residual, ~1e-6, and the escape machinery keeps appending junk
+    # forever).  Compressing to the original n_orig-dim matrix (one
+    # gather per OUTER iteration) and running an exact host eigh there
+    # reproduces the reference's certificate exactly
+    # (ManiDSDP_unitdiag.m:84): lam(X~) = lam(X_orig)/2 plus zeros.
+    compress = getattr(op, "compress", None)
+    if compress is not None:
+        _comp_jit = jax.jit(
+            lambda M, idx: (4.0 * jnp.take(M.reshape(-1), idx)
+                            ).reshape(op.n_orig, op.n_orig))
+
+        def exact_cert(Xp_dev):
+            Xo = np.asarray(jax.device_get(
+                _comp_jit(Xp_dev, op.rep_lin)))
+            vals, vecs = np.linalg.eigh((Xo + Xo.T) / 2.0)
+            lam_min = min(vals[0] / 2.0, 0.0)
+            lam_max = max(vals[-1] / 2.0, 0.0)
+            num_neg = int(np.sum(vals < 0))
+            return lam_min, lam_max, num_neg, op.lift_vecs(
+                vecs[:, :k_cert])
+    else:
+        exact_cert = None
+
+    if exact_cert is not None:
+        def lob_cert(Xp, key, gap, pinf):   # pragma: no cover - unused
+            raise RuntimeError("compressed exact cert active")
+    elif opt.cert_method == "devrr" and n > 3 * k_cert:
         # Fully device-resident certificate (ops/eigs_rr.DeviceCertSolver):
         # one dispatch per call; the primal-recovery matrix Xp is dense,
         # so the row matvec is one MXU matmul V @ Xp (Xp symmetric).
@@ -423,6 +453,12 @@ def solve_dual_al(variant_name: str, op: DualOp,
                 lambda: jax.block_until_ready(solve(Y, params, typdist)),
                 tag="rtr")
             Y = res.Y
+            if symmetrize is not None:
+                # project the inner solve's output before stats/cert
+                # consume it (f32 tCG noise leaves the subspace);
+                # columns are post-retraction unit vectors here, so
+                # renormalizing the averaged copies is exact
+                Y = symmetrize(Y)
         gradnorm = float(res.norm_grad)
         total_tr += int(res.iters)
         total_hess += int(res.inner_iters)
@@ -430,10 +466,18 @@ def solve_dual_al(variant_name: str, op: DualOp,
         with timers.timed("stats"):
             (S_dev, y_dev, Xm, w, Xp_dev, z_dev, obj_d, pinf_d, by_d,
              gap_d) = stats_fn(Y, op, Xm, w, jnp.float64(sigma), normc)
+            if symmetrize is not None:
+                # keep the multiplier on the duplicate-symmetric
+                # subspace — asymmetric accumulation shifts the AL
+                # stationary point off-subspace and floors pinf
+                Xm = op.symmetrize_mat(Xm)
+                Xp_dev = op.symmetrize_mat(Xp_dev)
             obj, pinf, gap = float(obj_d), float(pinf_d), float(gap_d)
 
         with timers.timed("cert"):
-            if use_eigh:
+            if exact_cert is not None:
+                lam_min, lam_max, num_neg, neg_vecs = exact_cert(Xp_dev)
+            elif use_eigh:
                 Xp_h = np.asarray(jax.device_get(Xp_dev))
                 vals, vecs = np.linalg.eigh(Xp_h)
                 lam_min, lam_max = vals[0], vals[-1]
@@ -484,9 +528,26 @@ def solve_dual_al(variant_name: str, op: DualOp,
             p = r
         else:
             Y_host = Y_host[:p]
-        nne = rank.num_escape(num_neg)
+        # no escape once the dual certificate is already at tolerance:
+        # the reference's nne >= 1 floor (ManiDSDP_unitdiag.m:117)
+        # exists to keep exploring while dinf is the blocker, but when
+        # only pinf remains, appending a junk direction perturbs the
+        # converged low-rank point under a large sigma and the endgame
+        # ping-pongs for dozens of iterations (observed at bqp q=60:
+        # pinf bouncing 8e-9 <-> 7e-6 at rank 1-2)
+        nne = rank.num_escape(num_neg) if dinf > opt.tol else 0
         vs = neg_vecs[:, :nne]
-        if opt.line_search:
+        if symmetrize is not None:
+            # duplicated-basis correspondence: the lift of a unit
+            # original eigenvector has expanded norm sqrt(2), but the
+            # certificate returns unit expanded vectors — rescale so
+            # the escape step matches the reference trajectory's
+            # (otherwise every escape is sqrt(2) undersized and the
+            # line search cannot reach the corresponding alpha)
+            vs = np.sqrt(2.0) * vs
+        if nne == 0:
+            U_host = None
+        elif opt.line_search:
             U_host = np.vstack([np.zeros((p, n)), vs.T])
             Y_host = np.vstack([Y_host, np.zeros((nne, n))])
         else:
@@ -495,26 +556,51 @@ def solve_dual_al(variant_name: str, op: DualOp,
             if variant.manifold is Oblique:
                 Y_host = Y_host / np.sqrt(np.sum(Y_host ** 2, axis=0))
         p = p + nne
-        p_pad = max(p_pad, bucketed(p, opt.p_bucket))
+        # rank buckets grow eagerly but SHRINK only when the active
+        # rank collapses to half a bucket or less — the endgame of a
+        # big rank ramp otherwise keeps paying the peak bucket's
+        # matmul cost for every remaining iteration (bqp q=60: rank
+        # 151 -> 2 while p_pad stayed 192, tripling every endgame Hv)
+        p_need = bucketed(p, opt.p_bucket)
+        if p_need > p_pad or 2 * p_need <= p_pad:
+            p_pad = p_need
         Y = jnp.asarray(pad_rows(Y_host, p_pad))
         U_dir = pad_rows(U_host, p_pad) if U_host is not None else None
         if symmetrize is not None:
-            Y = symmetrize(Y)
+            # renorm=False: after a rank truncation the column norms
+            # are NOT unit, and the reference only renormalizes inside
+            # the retraction of the STEPPED point
+            # (ManiDSDP_unitdiag.m:94,117-121) — normalizing the base
+            # point first is a different manifold point and was
+            # observed to bounce pinf 50x at every deep truncation
+            Y = symmetrize(Y, renorm=False)
             if U_dir is not None:
                 U_dir = symmetrize(U_dir, renorm=False)
 
         if pinf < opt.tau1 * gradnorm:
             sigma = max(sigma / opt.gama, opt.sigma_min)
             frozen = 0
+            tier = 0        # boost served its purpose: controller moves
         elif pinf > opt.tau2 * gradnorm:
             sigma = min(sigma * opt.gama, opt.sigma_max)
             frozen = 0
+            tier = 0
         else:
-            # endgame boost: sigma frozen with only dinf above tol ->
-            # the subproblem is under-resolved; escalate the TR budget
+            # plateau boost: the sigma controller freezes whenever
+            # tau1*gradnorm < pinf < tau2*gradnorm.  The convergence
+            # event of this ADMM is "deep inner solve -> gradnorm
+            # collapses -> sigma ramps -> pinf contracts
+            # superlinearly" (visible in every successful reference
+            # trajectory); when the default 4x20 TR budget leaves
+            # gradnorm ~1e-2, the controller freezes and the solve
+            # plateaus indefinitely at pinf ~0.2-1 (observed at bqp
+            # q=60 across containers — the trajectory is chaotically
+            # sensitive, and a lucky basin is the only way through at
+            # tier 0).  Escalate the TR budget after boost_after
+            # consecutive frozen iterations once the gap is small;
+            # the deeper subproblem solves re-enable the controller.
             if (opt.endgame_boost and tier == 0 and
-                    gap <= 10 * opt.tol and pinf <= 10 * opt.tol and
-                    dinf > opt.tol):
+                    gap <= 1e-3 and eta > opt.tol):
                 frozen += 1
                 if frozen >= opt.boost_after:
                     tier = 1
