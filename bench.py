@@ -11,13 +11,6 @@ Workloads (fastest-first so truncation keeps most rows):
                    baseline_measured false).
   - mc_n2000/4000: trace-min matrix completion, MEASURED references
                    9.05 s / 48.7 s (data/results.txt:2,4).
-  - bqp_q30_dual : SOS dual of BQP q=30 instance 1 via the gather-free
-                   tensor operator (ops/symdual.py).  The reference's
-                   own ManiDSDP table solves d=30 in 0.87 s
-                   (data/bqp_result.txt:23, instance/machine
-                   unspecified); the per-instance experiment logs show
-                   19 s (data/dual.txt:9).  Baseline = 19 s
-                   (measured), alternatives recorded in extra.
   - maxcut_G67   : Gset G67 (n=10000), THREE in-process trials —
                    median reported, min/max in extra (VERDICT r3
                    item 9).  Baseline 240 s is a derived lower bound
@@ -210,10 +203,8 @@ def main():
         run(bench_maxcut, 60, "G1", 3.0, False)
         run(bench_mc, 100, 1000, 9.05)
         run(bench_mc, 180, 2000, 48.7)
-        run(bench_bqp_dual, 120, 30, 19.0,
-            {"dual_txt_row1": 35.0, "manidsdp_table_d30": 0.87})
         run(bench_maxcut, 260, "G67", 240.0, False, trials=3)
-        run(bench_bqp_dual, 500, 60, 134.0,
+        run(bench_bqp_dual, 600, 60, 134.0,
             {"dual_txt_row2": 37.0, "manidsdp_table_d60": 20.5})
     if not ROWS:
         print(json.dumps({"metric": "bench_failed", "value": 0.0,

@@ -259,10 +259,24 @@ def solve_dual_al(variant_name: str, op: DualOp,
         _comp_jit = jax.jit(
             lambda M, idx: (4.0 * jnp.take(M.reshape(-1), idx)
                             ).reshape(op.n_orig, op.n_orig))
+        _comp32_jit = jax.jit(
+            lambda M, idx: (4.0 * jnp.take(
+                M.reshape(-1).astype(jnp.float32), idx)
+                ).reshape(op.n_orig, op.n_orig))
 
-        def exact_cert(Xp_dev):
-            Xo = np.asarray(jax.device_get(
-                _comp_jit(Xp_dev, op.rep_lin)))
+        def exact_cert(Xp_dev, far):
+            # two-tier precision: while far from convergence only the
+            # escape directions and an indicative dinf matter, so the
+            # compress gather / transfer / host eigh run in f32 (the
+            # f64 TPU gather alone costs ~7x the f32 one); the f64
+            # exact certificate runs only near convergence, where it
+            # DECIDES termination.
+            if far:
+                Xo = np.asarray(jax.device_get(
+                    _comp32_jit(Xp_dev, op.rep_lin)), dtype=np.float64)
+            else:
+                Xo = np.asarray(jax.device_get(
+                    _comp_jit(Xp_dev, op.rep_lin)))
             vals, vecs = np.linalg.eigh((Xo + Xo.T) / 2.0)
             lam_min = min(vals[0] / 2.0, 0.0)
             lam_max = max(vals[-1] / 2.0, 0.0)
@@ -476,7 +490,8 @@ def solve_dual_al(variant_name: str, op: DualOp,
 
         with timers.timed("cert"):
             if exact_cert is not None:
-                lam_min, lam_max, num_neg, neg_vecs = exact_cert(Xp_dev)
+                lam_min, lam_max, num_neg, neg_vecs = exact_cert(
+                    Xp_dev, max(gap, pinf) > opt.cert_cheap_eta)
             elif use_eigh:
                 Xp_h = np.asarray(jax.device_get(Xp_dev))
                 vals, vecs = np.linalg.eigh(Xp_h)

@@ -78,6 +78,11 @@ def solve_bqp_sos_dual(Q, e, q: int,
     overrides.setdefault("tau1", d["tau1"] * 2.0 * s2)
     overrides.setdefault("tau2", d["tau2"] * 2.0 * s2)
     overrides.setdefault("tolgradnorm", 1e-8 / s2)
+    # plateau-boost budget: deep enough to collapse gradnorm (~1e-9
+    # observed at 1500 Hv) without the 30x200 default's cost — each
+    # boosted iteration is pure q^4 tensor work at ~10 ms/Hv
+    overrides.setdefault("boost_tr_maxiter", 15)
+    overrides.setdefault("boost_tr_maxinner", 100)
     res = solve_dual_al("dual_unitdiag", op, options, **overrides)
     res.obj = res.obj * maxb
     return res

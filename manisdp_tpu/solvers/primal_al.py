@@ -340,6 +340,44 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
     return cert
 
 
+def _device_rank_rebuild(cache, variant, opt, k_cert, Y, UlT, vsT,
+                         r, nne):
+    """Jitted truncate-and-escape-append: Y_new = UlT @ Y with the
+    (<= k_cert) escape rows landed at row offset r via a masked roll
+    (wrap-around rows are zeros, so no dynamic-slice clipping hazard).
+    Returns (Y_new, escape-direction buffer)."""
+    p_pad_new, p_pad_old = UlT.shape
+    n = Y.shape[1]
+    k_rows = int(np.shape(vsT)[0])      # min(k_cert, n) from the cert
+    key = (p_pad_new, p_pad_old, k_rows, bool(opt.line_search))
+    fn = cache.get(key)
+    if fn is None:
+        ls = bool(opt.line_search)
+        manifold = variant.manifold
+        kk = min(k_rows, p_pad_new)
+
+        @jax.jit
+        def fn(Y, UlT, vsT, r, nne, alpha):
+            Z = UlT @ Y
+            ki = jax.lax.broadcasted_iota(jnp.int32, (kk, 1), 0)
+            V = jnp.where(ki < nne, vsT[:kk], 0.0)
+            Vp = jnp.zeros((p_pad_new, n), dtype=Y.dtype).at[:kk].set(V)
+            Vr = jnp.roll(Vp, r, axis=0)
+            if ls:
+                return Z, Vr
+            Yn = Z + alpha * Vr
+            if manifold is Oblique:
+                Yn = Yn / jnp.sqrt(jnp.maximum(
+                    jnp.sum(Yn * Yn, axis=0, keepdims=True), 1e-30))
+            elif manifold is Sphere:
+                Yn = Yn / jnp.maximum(jnp.linalg.norm(Yn), 1e-30)
+            return Yn, Vr
+
+        cache[key] = fn
+    return fn(Y, jnp.asarray(UlT), jnp.asarray(vsT, dtype=jnp.float64),
+              jnp.int32(r), jnp.int32(nne), jnp.float64(opt.alpha))
+
+
 def solve_primal_al(variant_name: str, op: ConstraintOp,
                     options: Optional[SolverOptions] = None,
                     Y0: Optional[np.ndarray] = None,
@@ -367,20 +405,17 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
     if sharded:
         from jax.sharding import PartitionSpec as _P
         from ..parallel.sharded_ops import ShardedConstraintOp
-        axis = mesh.axis_names[0]
-        # Build exactly mesh.shape[axis] slices and shard over THAT
-        # axis: with a multi-axis mesh (e.g. distributed.make_host_mesh's
-        # (dcn, model)), mesh.devices.size slices sharded over one axis
-        # would leave several slices per device with only the first one
-        # read — silently wrong reductions (ADVICE r2, medium).  Multi-
-        # axis meshes are rejected until a wiring replicates correctly
-        # over the extra axes.
-        if len(mesh.axis_names) != 1:
-            raise ValueError(
-                "solve_primal_al(mesh=...) supports a single-axis mesh; "
-                f"got axes {mesh.axis_names}.  Pass a 1-D submesh for "
-                "the model axis (e.g. Mesh(devices.reshape(-1), "
-                "('model',)))")
+        # Shard over the 'model' axis (the last axis when no axis is
+        # literally named 'model') and REPLICATE over any other mesh
+        # axes: distributed.make_host_mesh's recommended 2-D
+        # (dcn, model) mesh now composes directly (VERDICT r3 item 7).
+        # The operator is built with exactly mesh.shape[axis] slices,
+        # every PartitionSpec mentions only ``axis``, and both
+        # NamedSharding device_put and shard_map replicate over the
+        # unmentioned axes — the ADVICE r2 hazard (devices.size slices
+        # folded onto one axis) cannot occur.
+        axis = "model" if "model" in mesh.axis_names \
+            else mesh.axis_names[-1]
         sop_host = ShardedConstraintOp.build(op, mesh.shape[axis], axis)
         op_dev = jax.device_put(sop_host, sop_host.shardings(mesh))
         op_specs = sop_host.specs()
@@ -453,6 +488,7 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
         return solve, solve32, ls
 
     cache = JitCache(factory)
+    rebuild_cache = {}
     # f32 copy of the constraint operator for the mixed pre-stage
     # (index arrays shared; only float leaves are cast)
     op32 = None
@@ -577,29 +613,52 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
                     print("Slow progress!", flush=True)
                 break
 
-        # ---- rank update (host) ----
-        Y_host = np.asarray(jax.device_get(Y))
-        if r <= p - 1:
-            Y_host = Ul[:, :r].T @ Y_host
-            p = r
-        else:
-            Y_host = Y_host[:p]
+        # ---- rank update ----
         nne = rank.num_escape(num_neg)
-        vs = neg_vecs[:, :nne]
-        if opt.line_search:
-            U_host = np.vstack([np.zeros((p, n)), vs.T])
-            Y_host = np.vstack([Y_host, np.zeros((nne, n))])
+        p_new = (r if r <= p - 1 else p) + nne
+        if not sharded:
+            # fully on-device (VERDICT r3 item 10 / NOTES roadmap 1):
+            # the old host path (device_get(Y) -> numpy vstack ->
+            # re-upload) cost 0.5-0.7 s per outer iteration on mc-class
+            # problems.  Truncation is a tiny host-masked (p_pad_new,
+            # p_pad_old) matmul; the escape rows land via a masked
+            # roll, so no dynamic-slice clipping can misplace them.
+            p_pad_new = max(p_pad, bucketed(p_new, opt.p_bucket))
+            UlT = np.zeros((p_pad_new, p_pad), dtype=np.float64)
+            if r <= p - 1:
+                UlT[:r] = Ul[:, :r].T
+                p = r
+            else:
+                UlT[:p, :p] = np.eye(p)
+            Y, U_dir = _device_rank_rebuild(
+                rebuild_cache, variant, opt, k_cert,
+                Y, UlT, jnp.asarray(neg_vecs).T, p, nne)
+            if not opt.line_search:
+                U_dir = None
+            p = p + nne
+            p_pad = p_pad_new
         else:
-            U_host = None
-            Y_host = np.vstack([Y_host, opt.alpha * vs.T])
-            if variant.manifold is Oblique:
-                Y_host = Y_host / np.sqrt(np.sum(Y_host ** 2, axis=0))
-            elif variant.manifold is Sphere:
-                Y_host = Y_host / np.linalg.norm(Y_host)
-        p = p + nne
-        p_pad = max(p_pad, bucketed(p, opt.p_bucket))
-        Y = jnp.asarray(pad_rows(Y_host, p_pad))
-        U_dir = pad_rows(U_host, p_pad) if U_host is not None else None
+            Y_host = np.asarray(jax.device_get(Y))
+            if r <= p - 1:
+                Y_host = Ul[:, :r].T @ Y_host
+                p = r
+            else:
+                Y_host = Y_host[:p]
+            vs = np.asarray(neg_vecs[:, :nne])
+            if opt.line_search:
+                U_host = np.vstack([np.zeros((p, n)), vs.T])
+                Y_host = np.vstack([Y_host, np.zeros((nne, n))])
+            else:
+                U_host = None
+                Y_host = np.vstack([Y_host, opt.alpha * vs.T])
+                if variant.manifold is Oblique:
+                    Y_host = Y_host / np.sqrt(np.sum(Y_host ** 2, axis=0))
+                elif variant.manifold is Sphere:
+                    Y_host = Y_host / np.linalg.norm(Y_host)
+            p = p + nne
+            p_pad = max(p_pad, bucketed(p, opt.p_bucket))
+            Y = jnp.asarray(pad_rows(Y_host, p_pad))
+            U_dir = pad_rows(U_host, p_pad) if U_host is not None else None
 
         # ---- sigma schedule ----
         if pinf < opt.tau1 * gradnorm:
