@@ -347,8 +347,17 @@ class DeviceCertSolver:
                         # IEEE-f64 guards produce inf/NaN
 
     def __init__(self, matvec_rows: Callable, n: int, k: int,
-                 deflate_rows: int = 0, aug_cap: int = 24,
+                 deflate_rows: int = 0, aug_cap: Optional[int] = None,
                  lanczos_iters: int = 32):
+        # The on-device Rayleigh-Ritz eighs are 3b x 3b and the axon
+        # compiler hangs on f64 eigh sizes >= ~128 (NOTES.md), so the
+        # block cannot exceed b = 42 (3b = 126); the default 24-cap
+        # measured faster end-to-end (bigger on-device eighs cost more
+        # per LOBPCG iteration than the extra witnesses save).
+        BMAX = 42
+        if aug_cap is None:
+            aug_cap = 24
+        aug_cap = min(aug_cap, BMAX - k)
         self.n = n
         self.k = k
         self.dr = deflate_rows

@@ -616,13 +616,19 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
         # ---- rank update ----
         nne = rank.num_escape(num_neg)
         p_new = (r if r <= p - 1 else p) + nne
-        if not sharded:
+        if not sharded and variant.manifold is not Sphere:
             # fully on-device (VERDICT r3 item 10 / NOTES roadmap 1):
             # the old host path (device_get(Y) -> numpy vstack ->
             # re-upload) cost 0.5-0.7 s per outer iteration on mc-class
             # problems.  Truncation is a tiny host-masked (p_pad_new,
             # p_pad_old) matmul; the escape rows land via a masked
             # roll, so no dynamic-slice clipping can misplace them.
+            # The SPHERE (unittrace) family keeps the host path: its
+            # hair-trigger sigma controller (tau1 = 1e-5) makes the
+            # trajectory chaotic at the level of device-vs-numpy f64
+            # rounding (hamming theta limit-cycles under the device
+            # rebuild while the bit-identical host math converges), and
+            # its instances are small enough that the host hop is noise.
             p_pad_new = max(p_pad, bucketed(p_new, opt.p_bucket))
             UlT = np.zeros((p_pad_new, p_pad), dtype=np.float64)
             if r <= p - 1:
