@@ -265,12 +265,12 @@ class SymDualOp:
     per-degree multiplier length 1 + q + q^2 + q^3 + q^4 (``m_true``
     carries the number of distinct monomial classes for logging).
     """
-    b: jax.Array               # (m,) flat, dual-weighted (see module doc)
+    b: jax.Array               # (1+q+q^2,) dual-weighted deg<=2 prefix
     cf: jax.Array              # (f,)
-    C: jax.Array               # (n, n) dense PSD-part cost (zeros for BQP)
-    idAAt: jax.Array           # (m,) flat 1/class-size
+    C: jax.Array               # scalar 0 (PSD-part cost is zero for BQP)
+    idAAt: jax.Array           # (5,) per-degree 1/class-size scalars
     bA: jax.Array              # (n, n) dense mat(A' D^{-1} b)
-    Ac: jax.Array              # (m,) flat A @ vec(C)
+    Ac: jax.Array              # scalar 0 (A @ vec(C))
     B: SparseMat
     rep_lin: jax.Array          # (n_orig^2,) flat indices of rep slots
     dup0: jax.Array             # (n_orig,) first copy column of each
@@ -291,7 +291,21 @@ class SymDualOp:
         return _adjoint_tensor(y0, y1, Y2, Y3, Y4, self.q)
 
     def y_step(self, S):
-        return self.idAAt * (self.apply(S) - self.Ac)
+        return self.scale_idAAt(self.apply(S) - self.Ac)
+
+    def dot_b(self, y):
+        """<b, y>: b is supported on the degree <= 2 prefix only."""
+        return jnp.dot(self.b, y[:self.b.shape[0]])
+
+    def scale_idAAt(self, v):
+        """(AA')^{-1} v with the CONSTANT per-degree class sizes — no
+        length-m idAAt array (808 MB at q = 100).  Repeated-index
+        slots get the degree scalar instead of 1; they are don't-care
+        (never read by adjoint, zero in b)."""
+        y0, y1, Y2, Y3, Y4 = _split(v, self.q)
+        s = self.idAAt
+        return _flatten(y0 * s[0], y1 * s[1], Y2 * s[2], Y3 * s[3],
+                        Y4 * s[4])
 
     def symmetrize(self, Y, renorm: bool = True):
         """Project a (p, n~) factor onto the slot-symmetric subspace
@@ -356,9 +370,7 @@ class SymDualOp:
         b1 = e
         B2 = np.asarray(Q, dtype=np.float64).copy()
         np.fill_diagonal(B2, 0.0)
-        b_flat = np.concatenate([
-            [np.trace(Q)], b1, B2.reshape(-1),
-            np.zeros(q ** 3), np.zeros(q ** 4)])
+        b_flat = np.concatenate([[np.trace(Q)], b1, B2.reshape(-1)])
 
         # every class size is exactly 4x the original basis's
         # (two copies per column; validated against the expanded
@@ -370,11 +382,7 @@ class SymDualOp:
         d0 = 4.0 * (1 + q + q * (q - 1) // 2)
         d1 = 8.0 * q
         d2 = 8.0 * q
-        dAAt = np.concatenate([
-            [d0], np.full(q, d1), np.full(q * q, d2),
-            np.full(q ** 3, 24.0), np.full(q ** 4, 24.0)])
-        dAAt[_dontcare_mask(q)] = 1.0
-        idAAt = 1.0 / dAAt
+        idAAt = 1.0 / np.array([d0, d1, d2, 24.0, 24.0])
 
         # bA = mat(A' (b / dAAt)): b has support only up to degree 2,
         # so the adjoint broadcast needs no q^4 tensor — numpy suffices
@@ -408,9 +416,9 @@ class SymDualOp:
 
         return SymDualOp(
             b=jnp.asarray(b_flat), cf=jnp.zeros(0, dtype=jnp.float64),
-            C=jnp.zeros((nn, nn), dtype=jnp.float64),
+            C=jnp.zeros((), dtype=jnp.float64),
             idAAt=jnp.asarray(idAAt), bA=jnp.asarray(bA),
-            Ac=jnp.zeros(flat_m, dtype=jnp.float64), B=Bmat,
+            Ac=jnp.zeros((), dtype=jnp.float64), B=Bmat,
             rep_lin=jnp.asarray(rep_lin, dtype=jnp.int32),
             dup0=jnp.asarray(rep, dtype=jnp.int32),
             dup1=jnp.asarray(dup, dtype=jnp.int32),

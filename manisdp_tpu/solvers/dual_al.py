@@ -56,12 +56,27 @@ DUAL_VARIANTS = {
 }
 
 
+def _dot_b(op, y):
+    """<b, y> — ops with a truncated b (zeros beyond a prefix, e.g.
+    SymDualOp's degree <= 2 support) expose dot_b to avoid carrying a
+    length-m dense b (808 MB at q = 100)."""
+    f = getattr(op, "dot_b", None)
+    return f(y) if f is not None else jnp.dot(op.b, y)
+
+
+def _scale_idAAt(op, v):
+    """(AA')^{-1} v — ops with constant-per-degree class sizes expose
+    scale_idAAt instead of a length-m idAAt array."""
+    f = getattr(op, "scale_idAAt", None)
+    return f(v) if f is not None else op.idAAt * v
+
+
 def _common_cost(Y, op: DualOp, Xm, w, sigma):
     S = Y.T @ Y
     y = op.y_step(S)
     As = op.adjoint(y) - (S - op.C) - Xm / sigma
     Af = op.B.rmatvec(y) - op.cf - w / sigma
-    f = jnp.dot(op.b, y) + 0.5 * sigma * \
+    f = _dot_b(op, y) + 0.5 * sigma * \
         (jnp.sum(As * As) + jnp.dot(Af, Af))
     return f, (S, y, As, Af)
 
@@ -88,7 +103,7 @@ def _make_problem(variant: DualVariant, iAB: Optional[SparseMat]):
             op, sigma = params["op"], params["sigma"]
             Xh, YeG = gaux
             YU = Y.T @ U
-            yAU = op.adjoint(op.idAAt * op.apply(YU))
+            yAU = op.adjoint(_scale_idAAt(op, op.apply(YU)))
             eH = 2.0 * U @ Xh - 4.0 * sigma * (Y @ yAU) \
                 + 2.0 * sigma * ((Y @ U.T) @ Y + (Y @ Y.T) @ U)
             return eH - Y * jnp.sum(Y * eH, axis=0, keepdims=True) \
@@ -100,16 +115,16 @@ def _make_problem(variant: DualVariant, iAB: Optional[SparseMat]):
             _, _, As, Af = aux
             Xh = op.bA + sigma * (
                 _iab_mat(iAB, op.n, Af)
-                + op.adjoint(op.idAAt * op.apply(As)) - As)
+                + op.adjoint(_scale_idAAt(op, op.apply(As))) - As)
             return 2.0 * Y @ Xh, (Xh, None)
 
         def hess(Y, U, params, aux, gaux):
             op, sigma = params["op"], params["sigma"]
             Xh, _ = gaux
             YU = U.T @ Y                       # <U[:,i], Y[:,j]> dense
-            yAU = op.adjoint(op.idAAt * op.apply(YU))
+            yAU = op.adjoint(_scale_idAAt(op, op.apply(YU)))
             t1 = _iab_mat(iAB, op.n, _iab_rmat(iAB, YU))
-            t2 = op.adjoint(op.idAAt * op.apply(yAU))
+            t2 = op.adjoint(_scale_idAAt(op, op.apply(yAU)))
             return 2.0 * U @ Xh \
                 + 2.0 * sigma * ((Y @ Y.T) @ U + (Y @ U.T) @ Y) \
                 + 4.0 * sigma * (Y @ (t1 + t2 - 2.0 * yAU))
@@ -146,7 +161,7 @@ def _make_stats(variant: DualVariant, iAB: Optional[SparseMat]):
         As = op.adjoint(y) - (S - op.C)
         Af = op.B.rmatvec(y) - op.cf
         pinf = (jnp.sqrt(jnp.sum(As * As)) + jnp.linalg.norm(Af)) / normc
-        by = jnp.dot(op.b, y)
+        by = _dot_b(op, y)
         if variant.unitdiag:
             # ManiDSDP_unitdiag.m:80-88
             Xm_new = Xm - sigma * As
@@ -159,7 +174,7 @@ def _make_stats(variant: DualVariant, iAB: Optional[SparseMat]):
             # ManiDSDP.m:73-77
             Xm_new = Xm + sigma * (
                 _iab_mat(iAB, op.n, Af - w / sigma)
-                + op.adjoint(op.idAAt * op.apply(As - Xm / sigma)) - As)
+                + op.adjoint(_scale_idAAt(op, op.apply(As - Xm / sigma))) - As)
             w_new = w - sigma * Af
             eX = Xm_new + op.bA
             z = jnp.zeros(())
@@ -437,6 +452,8 @@ def solve_dual_al(variant_name: str, op: DualOp,
     tier = 0
     use32 = opt.inner_dtype == "tcg32"
     frozen = 0          # consecutive endgame iterations with frozen sigma
+    best_eta = np.inf
+    last_improve = 0
 
     timers = PhaseTimers()
     for it in range(1, opt.max_outer + 1):
@@ -517,6 +534,19 @@ def solve_dual_al(variant_name: str, op: DualOp,
                             tr=int(res.iters), hv=int(res.inner_iters)))
         timers.log_delta(opt.verbose)
         eta = max(gap, pinf, dinf)
+        # eta-stagnation boost trigger: the frozen-sigma trigger below
+        # misses plateaus where the controller OSCILLATES (gradnorm
+        # spikes from the per-iteration escape steps flip the tau
+        # comparisons); if the best eta hasn't halved for a while with
+        # the gap already small, the subproblems are under-resolved
+        # regardless of what sigma is doing (observed at random d=80:
+        # 100 iterations of pinf in [2, 25] with sigma toggling)
+        if eta < 0.5 * best_eta:
+            best_eta = eta
+            last_improve = it
+        if (opt.endgame_boost and tier == 0 and gap <= 1e-3 and
+                eta > opt.tol and it - last_improve >= 2 * opt.boost_after):
+            tier = 1
         if eta < opt.tol:
             if opt.verbose:
                 print("Optimality is reached!", flush=True)

@@ -69,11 +69,14 @@ def _row_of_mask(q):
 def test_class_sizes_match_sparse():
     q = 5
     Q, e = _rand_bqp(q)
+    from math import comb
     A_full, b, c, nn, f, dAAt = bqpsos_expanded_sparse(Q, e, q)
     op = SymDualOp.build_bqpsos(Q, e, q)
     slots, masks = _canon_slots(q)
     rows = _row_of_mask(q)(masks)
-    got = 1.0 / np.asarray(op.idAAt)[slots]
+    degs = np.repeat(np.arange(5), [1, q, comb(q, 2), comb(q, 3),
+                                    comb(q, 4)])
+    got = 1.0 / np.asarray(op.idAAt)[degs]
     np.testing.assert_allclose(got, dAAt[rows], rtol=0, atol=0)
     assert _num_classes(q) == len(dAAt)
 
