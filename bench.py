@@ -167,8 +167,13 @@ def bench_bqp_dual(q, baseline, alt_baselines, est_iters=30):
     from manisdp_tpu.solvers.dual_unitdiag import solve_bqp_sos_dual
     Q = np.loadtxt(os.path.join(DATA, f"bqp_Q_{q}_1.txt"), delimiter=",")
     e = np.loadtxt(os.path.join(DATA, f"bqp_e_{q}_1.txt"), delimiter=",")
+    # p_bucket=192: ONE rank-bucket shape for the whole q=60 ramp
+    # (peak p ~ 150) — the q^4 tensor work dominates every program, so
+    # the larger factor buffers cost nothing at runtime while cutting
+    # the fresh-container compile count ~3x (the cold run is
+    # compile-dominated at ~385 s with 64-buckets)
     kw = dict(line_search=True, verbose=False, inner_dtype="tcg32",
-              p_bucket=64)
+              p_bucket=192)
     dt, res, cold, warm = _timed_runs(
         lambda: solve_bqp_sos_dual(Q, e, q, **kw))
     return _emit(f"bqp_q{q}_dual_warmsolve_to_kkt1e-8", dt, baseline,

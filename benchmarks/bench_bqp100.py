@@ -24,7 +24,7 @@ e = rng.standard_normal(q)
 t0 = time.time()
 res = solve_bqp_sos_dual(Q, e, q, line_search=True, verbose=2,
                          inner_dtype="tcg32", p_bucket=128,
-                         max_outer=100)
+                         max_outer=250)
 wall = time.time() - t0
 from math import comb
 m_true = 1 + q + comb(q, 2) + comb(q, 3) + comb(q, 4)

@@ -287,12 +287,17 @@ def solve_dual_al(variant_name: str, op: DualOp,
             # exact certificate runs only near convergence, where it
             # DECIDES termination.
             if far:
+                # f32 end-to-end: ssyevd is ~2x dsyevd and 1e-5-level
+                # eigenvalues are plenty for escape directions
                 Xo = np.asarray(jax.device_get(
-                    _comp32_jit(Xp_dev, op.rep_lin)), dtype=np.float64)
+                    _comp32_jit(Xp_dev, op.rep_lin)))
             else:
                 Xo = np.asarray(jax.device_get(
                     _comp_jit(Xp_dev, op.rep_lin)))
             vals, vecs = np.linalg.eigh((Xo + Xo.T) / 2.0)
+            if far:
+                vals = vals.astype(np.float64)
+                vecs = vecs.astype(np.float64)
             lam_min = min(vals[0] / 2.0, 0.0)
             lam_max = max(vals[-1] / 2.0, 0.0)
             num_neg = int(np.sum(vals < 0))
