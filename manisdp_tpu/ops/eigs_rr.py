@@ -355,6 +355,14 @@ class DeviceCertSolver:
         # measured faster end-to-end (bigger on-device eighs cost more
         # per LOBPCG iteration than the extra witnesses save).
         BMAX = 42
+        if k > BMAX:
+            # ADVICE r4: a k > BMAX block would emit a 3b >= 129
+            # on-device f64 eigh, which HANGS the axon compiler — fail
+            # loudly instead
+            raise ValueError(
+                f"DeviceCertSolver block k={k} exceeds BMAX={BMAX} "
+                "(3b >= 129 f64 eigh hangs the axon compiler); use the "
+                "host-RR RowCertSolver for larger blocks")
         if aug_cap is None:
             aug_cap = 24
         aug_cap = min(aug_cap, BMAX - k)

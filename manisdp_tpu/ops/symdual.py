@@ -19,8 +19,10 @@ therefore diagonal AA'.  On the EXPANDED basis
 (n~ = 2 + q + q^2 columns; every original basis column appears EXACTLY
 twice, so every monomial class receives exactly 4x the original's
 entries — uniform inflation, which makes the expanded ADMM trajectory
-track the reference's exactly under a (sigma/4, 8*tau, tolgradnorm/4)
-parameter mapping), the class of every entry is a pure
+track the reference's exactly under a (sigma/4, 2*sqrt(2)*tau,
+tolgradnorm/sqrt(2)) parameter mapping; see solve_bqp_sos_dual in
+solvers/dual_unitdiag.py for the single-source derivation), the class
+of every entry is a pure
 index-coincidence pattern, so:
 
   - ``apply``  = dense symmetrizations + partial traces of the (q,q,q,q)
@@ -104,7 +106,7 @@ def _apply_tensor(M, q):
     every class receives exactly 4x the original basis's entries —
     the uniform inflation that makes the expanded ADMM trajectory
     track the reference's exactly under (sigma -> sigma/4,
-    tau -> 8 tau, tolgradnorm -> tolgradnorm/4); see
+    tau -> 2*sqrt(2)*tau, tolgradnorm -> tolgradnorm/sqrt(2)); see
     solve_bqp_sos_dual for the mapping derivation.
     """
     s, u, uT, E, F, G, H, K, T = _blocks(M, q)
@@ -261,7 +263,7 @@ def _split(y, q):
 class SymDualOp:
     """Gather-free drop-in for DualOp on BQP-SOS expanded data.
 
-    ``n`` is the expanded basis size n~ = 1 + q + q^2; ``m`` the flat
+    ``n`` is the expanded basis size n~ = 2 + q + q^2; ``m`` the flat
     per-degree multiplier length 1 + q + q^2 + q^3 + q^4 (``m_true``
     carries the number of distinct monomial classes for logging).
     """
@@ -272,7 +274,6 @@ class SymDualOp:
     bA: jax.Array              # (n, n) dense mat(A' D^{-1} b)
     Ac: jax.Array              # scalar 0 (A @ vec(C))
     B: SparseMat
-    rep_lin: jax.Array          # (n_orig^2,) flat indices of rep slots
     dup0: jax.Array             # (n_orig,) first copy column of each
     dup1: jax.Array             # (n_orig,) second copy column
     q: int = dataclasses.field(metadata=dict(static=True))
@@ -325,10 +326,11 @@ class SymDualOp:
     def compress(self, M_dev):
         """Original-basis (n_orig x n_orig) matrix from an expanded
         one: read the representative slots and undo the 1/4 lift
-        scaling.  ONE n_orig^2 gather per call — used once per outer
-        iteration by the exact certificate, never in the hot loop."""
-        flat = jnp.take(jnp.reshape(M_dev, (-1,)), self.rep_lin)
-        return 4.0 * flat.reshape(self.n_orig, self.n_orig)
+        scaling.  Row-take + column-take (slice gathers, ~8 ms at
+        q = 80 vs 160-315 ms for the round-4 flat scalar gather —
+        benchmarks/prof_cert_r5b.py); once per outer iteration from
+        the certificate, never in the hot loop."""
+        return 4.0 * M_dev[self.dup0][:, self.dup0]
 
     def lift_vecs(self, V: np.ndarray) -> np.ndarray:
         """Host lift of original-basis (n_orig, k) eigenvectors into
@@ -411,15 +413,12 @@ class SymDualOp:
         dup = np.concatenate([[1], o + np.arange(q) * (q + 1),
                               o + pb * q + pa])
         n_orig = rep.shape[0]
-        rep_lin = (rep[:, None].astype(np.int64) * nn +
-                   rep[None, :]).reshape(-1)
 
         return SymDualOp(
             b=jnp.asarray(b_flat), cf=jnp.zeros(0, dtype=jnp.float64),
             C=jnp.zeros((), dtype=jnp.float64),
             idAAt=jnp.asarray(idAAt), bA=jnp.asarray(bA),
             Ac=jnp.zeros((), dtype=jnp.float64), B=Bmat,
-            rep_lin=jnp.asarray(rep_lin, dtype=jnp.int32),
             dup0=jnp.asarray(rep, dtype=jnp.int32),
             dup1=jnp.asarray(dup, dtype=jnp.int32),
             q=q, m=flat_m, n=nn, f=0, m_true=m_true, n_orig=n_orig)

@@ -215,6 +215,12 @@ def make_line_search(cost_fn: Callable, renorm: Callable,
     # prevent).  The tail engages only when the 15-step phase failed to
     # find a 1e-3 decrease, so its f64 evals are off the hot path.
     ls_dt = jnp.dtype(ls_dtype) if ls_dtype else None
+    # ADVICE r4: snapshot the debug switch at closure-BUILD time — the
+    # traced branch is baked into cached programs, so reading os.environ
+    # inside the traced body made later flips silently ineffective.
+    # MANISDP_LS_TAIL must be set before the first solve in a process.
+    import os as _os
+    _noisy_tail = _os.environ.get("MANISDP_LS_TAIL") == "noisy32"
 
     def line_search(Y, U, params):
         if ls_dt is not None:
@@ -248,8 +254,7 @@ def make_line_search(cost_fn: Callable, renorm: Callable,
         alpha, i, nY, f = jax.lax.while_loop(
             cond, body, (jnp.float64(1.0), jnp.int32(1), nY1, f1))
 
-        import os as _os
-        if _os.environ.get("MANISDP_LS_TAIL") == "noisy32":
+        if _noisy_tail:
             # debugging switch: the pre-round-4 tail (strict decrease
             # in the line-search eval dtype, f32 noise and all)
             def cond_o(c):

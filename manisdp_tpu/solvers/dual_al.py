@@ -271,38 +271,41 @@ def solve_dual_al(variant_name: str, op: DualOp,
     # (ManiDSDP_unitdiag.m:84): lam(X~) = lam(X_orig)/2 plus zeros.
     compress = getattr(op, "compress", None)
     if compress is not None:
-        _comp_jit = jax.jit(
-            lambda M, idx: (4.0 * jnp.take(M.reshape(-1), idx)
-                            ).reshape(op.n_orig, op.n_orig))
-        _comp32_jit = jax.jit(
-            lambda M, idx: (4.0 * jnp.take(
-                M.reshape(-1).astype(jnp.float32), idx)
-                ).reshape(op.n_orig, op.n_orig))
+        # Device-resident two-tier certificate (ops/dense_cert.py):
+        # far tier = one f32 device eigh (0.09-0.33 s at n_orig =
+        # 1831-3241 vs 3-47 s for the round-4 HOST eigh — the cert
+        # phase was 33-68% of total wall on every SOS workload); near
+        # tier = f64 Ogita-Aishima refinement + Gershgorin-certified
+        # lam_min bound, with host f64 eigh kept as fallback when the
+        # certified slack misses the target.
+        from ..ops.dense_cert import DenseEighCert
+        _dc = DenseEighCert(op.n_orig, k_cert)
+
+        @jax.jit
+        def _comp_both(M):
+            Xo = compress(M)
+            Xo = 0.5 * (Xo + Xo.T)
+            return Xo, Xo.astype(jnp.float32)
 
         def exact_cert(Xp_dev, far):
-            # two-tier precision: while far from convergence only the
-            # escape directions and an indicative dinf matter, so the
-            # compress gather / transfer / host eigh run in f32 (the
-            # f64 TPU gather alone costs ~7x the f32 one); the f64
-            # exact certificate runs only near convergence, where it
-            # DECIDES termination.
+            Xo64, Xo32 = _comp_both(Xp_dev)
             if far:
-                # f32 end-to-end: ssyevd is ~2x dsyevd and 1e-5-level
-                # eigenvalues are plenty for escape directions
-                Xo = np.asarray(jax.device_get(
-                    _comp32_jit(Xp_dev, op.rep_lin)))
+                res = _dc.far(Xo32)
             else:
-                Xo = np.asarray(jax.device_get(
-                    _comp_jit(Xp_dev, op.rep_lin)))
-            vals, vecs = np.linalg.eigh((Xo + Xo.T) / 2.0)
-            if far:
-                vals = vals.astype(np.float64)
-                vecs = vecs.astype(np.float64)
-            lam_min = min(vals[0] / 2.0, 0.0)
-            lam_max = max(vals[-1] / 2.0, 0.0)
-            num_neg = int(np.sum(vals < 0))
-            return lam_min, lam_max, num_neg, op.lift_vecs(
-                vecs[:, :k_cert])
+                res = _dc.near(Xo64, Xo32, target_rel=0.1 * opt.tol)
+                if not res.certified:
+                    # host-eigh fallback (pathological refinement)
+                    Xo = np.asarray(jax.device_get(Xo64))
+                    vals, vecs = np.linalg.eigh(Xo)
+                    res = type(res)(
+                        lam_min=float(vals[0]), lam_max=float(vals[-1]),
+                        num_neg=int(np.sum(vals < 0)),
+                        neg_vecs=vecs[:, :k_cert], slack=0.0,
+                        certified=True)
+            lam_min = min(res.lam_min / 2.0, 0.0)
+            lam_max = max(res.lam_max / 2.0, 0.0)
+            return lam_min, lam_max, res.num_neg, op.lift_vecs(
+                res.neg_vecs[:, :k_cert])
     else:
         exact_cert = None
 
@@ -512,8 +515,11 @@ def solve_dual_al(variant_name: str, op: DualOp,
 
         with timers.timed("cert"):
             if exact_cert is not None:
+                # ADVICE r4: gate the f32 far tier on max(cheap_eta, tol)
+                # so a loose user tol can never terminate on an f32 dinf
                 lam_min, lam_max, num_neg, neg_vecs = exact_cert(
-                    Xp_dev, max(gap, pinf) > opt.cert_cheap_eta)
+                    Xp_dev,
+                    max(gap, pinf) > max(opt.cert_cheap_eta, opt.tol))
             elif use_eigh:
                 Xp_h = np.asarray(jax.device_get(Xp_dev))
                 vals, vecs = np.linalg.eigh(Xp_h)
