@@ -123,6 +123,20 @@ class SolverOptions:
     boost_tr_maxiter: int = 30
     boost_tr_maxinner: int = 200
     boost_after: int = 5          # consecutive frozen-sigma endgame iters
+    # Forced sigma escalation on pinf stagnation (round 5): the
+    # tau1/tau2 pinf-vs-gradnorm controller can wander indefinitely at
+    # sigma ~ sigma_min when the inner budget leaves gradnorm ~1e-1
+    # while pinf is O(1) (observed 100+ outers at random bqp q=80 —
+    # logs/bqp80_r4.log — where the reference's own escape hatch is a
+    # per-instance tau2=10, example/dual/example_bqp_dual.m:36).  When
+    # the gap is already small and pinf has not contracted by
+    # sigma_push_ratio within sigma_push_after iterations of the last
+    # sigma increase, force sigma *= gama: feasibility needs a larger
+    # penalty regardless of what gradnorm is doing.
+    sigma_push: bool = False
+    sigma_push_after: int = 6
+    sigma_push_ratio: float = 0.7
+    sigma_push_gap: float = 1e-3
     dtype: str = "float64"
     # Inner-solve precision:
     #   "float64": reference-exact (default).

@@ -462,6 +462,8 @@ def solve_dual_al(variant_name: str, op: DualOp,
     frozen = 0          # consecutive endgame iterations with frozen sigma
     best_eta = np.inf
     last_improve = 0
+    pinf_anchor = np.inf    # sigma_push state: pinf at last sigma raise
+    anchor_it = 0
 
     timers = PhaseTimers()
     for it in range(1, opt.max_outer + 1):
@@ -584,14 +586,26 @@ def solve_dual_al(variant_name: str, op: DualOp,
             p = r
         else:
             Y_host = Y_host[:p]
-        # no escape once the dual certificate is already at tolerance:
-        # the reference's nne >= 1 floor (ManiDSDP_unitdiag.m:117)
-        # exists to keep exploring while dinf is the blocker, but when
-        # only pinf remains, appending a junk direction perturbs the
-        # converged low-rank point under a large sigma and the endgame
-        # ping-pongs for dozens of iterations (observed at bqp q=60:
-        # pinf bouncing 8e-9 <-> 7e-6 at rank 1-2)
-        nne = rank.num_escape(num_neg) if dinf > opt.tol else 0
+        # no escape when the dual certificate is NOT the blocker: the
+        # reference's nne >= 1 floor (ManiDSDP_unitdiag.m:117) exists
+        # to keep exploring while dinf blocks, but when only pinf
+        # remains, appending a junk direction perturbs the converged
+        # low-rank point and the endgame ping-pongs for dozens of
+        # iterations (observed at bqp q=60: a deep solve reached
+        # gradnorm 3.5e-7 / dinf 5.3e-8 / pinf 0.21, then the dinf >
+        # tol escape re-excited everything and the solve wandered 120
+        # more outers — logs/bqp60_r5a.log iter 30).  dinf is "not the
+        # blocker" when it sits at max(tol, well below both pinf and
+        # an absolute near-convergence level).
+        dinf_floor = max(opt.tol, min(1e-5, 1e-3 * pinf))
+        pinf_lock = (opt.endgame_boost and gap <= 1e-3 and
+                     dinf <= dinf_floor and pinf > opt.tol)
+        if pinf_lock:
+            # pinf is the lone blocker: hold the deep-solve tier so
+            # gradnorm collapses every outer and the tau2 comparison
+            # ramps sigma (the AL convergence event); escapes stay off
+            tier = 1
+        nne = rank.num_escape(num_neg) if dinf > dinf_floor else 0
         vs = neg_vecs[:, :nne]
         if symmetrize is not None:
             # duplicated-basis correspondence: the lift of a unit
@@ -633,14 +647,17 @@ def solve_dual_al(variant_name: str, op: DualOp,
             if U_dir is not None:
                 U_dir = symmetrize(U_dir, renorm=False)
 
+        sigma_prev = sigma
         if pinf < opt.tau1 * gradnorm:
             sigma = max(sigma / opt.gama, opt.sigma_min)
             frozen = 0
-            tier = 0        # boost served its purpose: controller moves
+            if not pinf_lock:
+                tier = 0    # boost served its purpose: controller moves
         elif pinf > opt.tau2 * gradnorm:
             sigma = min(sigma * opt.gama, opt.sigma_max)
             frozen = 0
-            tier = 0
+            if not pinf_lock:
+                tier = 0
         else:
             # plateau boost: the sigma controller freezes whenever
             # tau1*gradnorm < pinf < tau2*gradnorm.  The convergence
@@ -662,6 +679,27 @@ def solve_dual_al(variant_name: str, op: DualOp,
                     tier = 1
             else:
                 frozen = 0
+
+        # forced sigma escalation on pinf stagnation (config.py
+        # sigma_push): the tau controller compares pinf against
+        # gradnorm, but when the inner budget leaves gradnorm O(1e-1)
+        # it can wander at sigma ~ sigma_min for 100+ outers with pinf
+        # O(1) (logs/bqp80_r4.log).  If sigma hasn't increased and pinf
+        # hasn't contracted by sigma_push_ratio for sigma_push_after
+        # iterations while the gap is small, feasibility needs a
+        # bigger penalty regardless of gradnorm — the same judgement
+        # behind the reference's own per-instance tau2=10 recipe
+        # (example/dual/example_bqp_dual.m:36, "% q = 80, i = 3").
+        if opt.sigma_push:
+            if sigma > sigma_prev or \
+                    pinf < opt.sigma_push_ratio * pinf_anchor:
+                pinf_anchor = pinf
+                anchor_it = it
+            elif (gap <= opt.sigma_push_gap and pinf > opt.tol and
+                  eta > opt.tol and it - anchor_it >= opt.sigma_push_after):
+                sigma = min(sigma * opt.gama, opt.sigma_max)
+                pinf_anchor = pinf
+                anchor_it = it
 
         # checkpoint AFTER the sigma update so resuming with
         # sigma0=st["sigma"] continues the exact trajectory (ADVICE r2)

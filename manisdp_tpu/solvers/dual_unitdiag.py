@@ -83,6 +83,12 @@ def solve_bqp_sos_dual(Q, e, q: int,
     # boosted iteration is pure q^4 tensor work at ~10 ms/Hv
     overrides.setdefault("boost_tr_maxiter", 15)
     overrides.setdefault("boost_tr_maxinner", 100)
+    # forced sigma escalation on pinf stagnation (config.py): the
+    # random q >= 70 instances need the penalty to keep ramping even
+    # while the inner budget leaves gradnorm O(1e-1) — the reference's
+    # own recipe for this class is a per-instance tau2 drop
+    # (example/dual/example_bqp_dual.m:36)
+    overrides.setdefault("sigma_push", True)
     res = solve_dual_al("dual_unitdiag", op, options, **overrides)
     res.obj = res.obj * maxb
     return res
