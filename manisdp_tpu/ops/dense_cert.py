@@ -59,6 +59,12 @@ class DenseCertResult:
     neg_vecs: np.ndarray    # (n, k) host f64
     slack: float            # certified bound slack (0.0 for far tier)
     certified: bool
+    # Ritz value of the lowest refined direction — an UPPER bound on
+    # lam_min up to f64 roundoff (Rayleigh quotient), independent of
+    # the Gershgorin slack.  When -lam_min_ritz already exceeds the
+    # termination threshold, dinf > tol holds regardless of whether
+    # the lower bound certified, so no host fallback is needed.
+    lam_min_ritz: float = np.nan
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -181,4 +187,4 @@ class DenseEighCert:
         return DenseCertResult(
             lam_min=mu_min - slack, lam_max=mu_max, num_neg=int(num_neg),
             neg_vecs=np.asarray(jax.device_get(Vk), dtype=np.float64),
-            slack=slack, certified=slack <= target)
+            slack=slack, certified=slack <= target, lam_min_ritz=mu_min)

@@ -293,6 +293,18 @@ def solve_dual_al(variant_name: str, op: DualOp,
                 res = _dc.far(Xo32)
             else:
                 res = _dc.near(Xo64, Xo32, target_rel=0.1 * opt.tol)
+                if not res.certified and np.isfinite(res.lam_min_ritz) \
+                        and max(0.0, -res.lam_min_ritz) > \
+                        2.0 * opt.tol * (1.0 + abs(res.lam_max)):
+                    # the Ritz UPPER bound alone already proves
+                    # dinf > tol (lam_min <= ritz < -2 tol scale):
+                    # termination cannot fire, so the host fallback
+                    # would be wasted work (observed: a 170 s host
+                    # eigh to confirm a -5.9e-7 eigenvalue,
+                    # logs/bqp80_r5a.log iter 53); report the Ritz
+                    # value itself (the best point estimate)
+                    res = dataclasses.replace(res, certified=True,
+                                              lam_min=res.lam_min_ritz)
                 if not res.certified:
                     # host-eigh fallback (pathological refinement)
                     Xo = np.asarray(jax.device_get(Xo64))

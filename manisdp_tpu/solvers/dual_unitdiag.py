@@ -76,7 +76,14 @@ def solve_bqp_sos_dual(Q, e, q: int,
     overrides.setdefault("sigma_min", d["sigma_min"] / 4.0)
     overrides.setdefault("sigma_max", d["sigma_max"] / 4.0)
     overrides.setdefault("tau1", d["tau1"] * 2.0 * s2)
-    overrides.setdefault("tau2", d["tau2"] * 2.0 * s2)
+    # tau2: the reference's own large-q recipe drops tau2 to 10
+    # (example/dual/example_bqp_dual.m:36, "% q = 80, i = 3") so sigma
+    # ramps from the first iterations instead of freezing at sigma_min
+    # while pinf is O(10-1000) — without it the q >= 70 ramp spends
+    # 50 outers at sigma ~ 1e-3 growing the rank past 300
+    # (logs/bqp80_r5a.log)
+    tau2_ref = 10.0 if q >= 70 else d["tau2"]
+    overrides.setdefault("tau2", tau2_ref * 2.0 * s2)
     overrides.setdefault("tolgradnorm", 1e-8 / s2)
     # plateau-boost budget: deep enough to collapse gradnorm (~1e-9
     # observed at 1500 Hv) without the 30x200 default's cost — each

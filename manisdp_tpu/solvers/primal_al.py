@@ -153,6 +153,63 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
     wrapper for the mesh-sharded operator); ``sv_unpad`` strips the
     sharded layout's tail padding before host-side dense assembly.
     """
+    if getattr(op_host, "compress_coef", None) is not None and \
+            wrap is jax.jit:
+        # Expanded-basis operator (ops/symmom.SymMomOp): certify in the
+        # COMPRESSED original space with the device f32-eigh + OA
+        # engine (ops/dense_cert.py) — reproduces the reference
+        # certificate (ManiSDP_unitdiag.m:65-69: S = mat(c - At*y) -
+        # diag(z), z = colsum(X .* eS)) exactly, on the original
+        # n_orig basis, with NO host eigh on the hot path.
+        from ..ops.dense_cert import DenseEighCert
+        dc = DenseEighCert(op_host.n_orig, k)
+        dup0 = op_host.dup0
+
+        @jax.jit
+        def _orig_cert_mat(Y, sv):
+            Yo = Y[:, dup0]
+            Xo = Yo.T @ Yo                   # original X (values)
+            So = 4.0 * sv[dup0][:, dup0]     # original S (coefficients)
+            zo = jnp.sum(So * Xo, axis=0)
+            Mo = So - jnp.diag(zo)
+            Mo = 0.5 * (Mo + Mo.T)
+            return Mo, Mo.astype(jnp.float32)
+
+        s2 = float(np.sqrt(2.0))
+
+        def cert(Y, op, sv, z, key, gap=np.inf, pinf=np.inf):
+            Mo64, Mo32 = _orig_cert_mat(Y, sv)
+            far = max(gap, pinf) > max(opt.cert_cheap_eta, opt.tol)
+            if far:
+                res = dc.far(Mo32)
+            else:
+                res = dc.near(Mo64, Mo32, target_rel=0.1 * opt.tol)
+                if not res.certified and np.isfinite(res.lam_min_ritz) \
+                        and max(0.0, -res.lam_min_ritz) > \
+                        2.0 * opt.tol * (1.0 + abs(res.lam_max)):
+                    import dataclasses as _dc_mod
+                    res = _dc_mod.replace(res, certified=True,
+                                          lam_min=res.lam_min_ritz)
+                if not res.certified:
+                    Xo = np.asarray(jax.device_get(Mo64))
+                    vals, vecs = np.linalg.eigh(Xo)
+                    from ..ops.dense_cert import DenseCertResult
+                    res = DenseCertResult(
+                        lam_min=float(vals[0]), lam_max=float(vals[-1]),
+                        num_neg=int(np.sum(vals < 0)),
+                        neg_vecs=vecs[:, :k], slack=0.0, certified=True,
+                        lam_min_ritz=float(vals[0]))
+            # duplicated-basis correspondence: unit expanded lifts are
+            # 1/sqrt(2) per copy; scale by sqrt(2) so the escape step
+            # matches the reference trajectory (as solve_dual_al does)
+            vecs = s2 * op_host.lift_vecs(res.neg_vecs[:, :k])
+            vals = np.full(k, np.nan)
+            vals[0] = res.lam_min
+            return (res.lam_min, res.lam_max, res.num_neg, vecs, vals,
+                    None)
+
+        return cert
+
     if use_eigh:
         pi = np.asarray(op_host.pat.i)
         pj = np.asarray(op_host.pat.j)
@@ -436,7 +493,11 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
         #   2. dense MXU carriers for moderate n;
         #   3. factored gather/segment path (scales, shards).
         op_dev = None
-        if opt.al_op_mode in ("auto", "entrywise") and \
+        if not isinstance(op, ConstraintOp):
+            # dense-tensor operator (ops/symmom.SymMomOp): already the
+            # specialized form — no ladder
+            op_dev = op
+        elif opt.al_op_mode in ("auto", "entrywise") and \
                 n <= opt.entrywise_al_max_n:
             from ..ops.sparse import EntrywiseConstraintOp
             op_dev = EntrywiseConstraintOp.detect(op)
@@ -525,6 +586,14 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
     else:
         key, sub = jax.random.split(key)
         Y = M.rand(sub, p, n, p_pad)
+    # expanded-basis operators (ops/symmom.SymMomOp) supply a
+    # symmetrize hook: init, post-solve and rebuilt factors are
+    # projected onto the duplicate-symmetric subspace, where the
+    # expanded dynamics reproduce the reference trajectory (see
+    # ops/symdual.py for the original analysis)
+    symmetrize = getattr(op_dev, "symmetrize", None)
+    if symmetrize is not None:
+        Y = symmetrize(Y)
     U_dir = None
 
     y = op_dev.res_zeros() if y0 is None else op_dev.res_from_mvec(y0)
@@ -569,6 +638,8 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
                 lambda: jax.block_until_ready(solve(Y, params, typdist)),
                 tag="rtr")
             Y = res.Y
+            if symmetrize is not None:
+                Y = symmetrize(Y)
         gradnorm = float(res.norm_grad)
         total_tr += int(res.iters)
         total_hess += int(res.inner_iters)
@@ -665,6 +736,12 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
             p_pad = max(p_pad, bucketed(p, opt.p_bucket))
             Y = jnp.asarray(pad_rows(Y_host, p_pad))
             U_dir = pad_rows(U_host, p_pad) if U_host is not None else None
+        if symmetrize is not None:
+            # renorm=False: the reference only renormalizes the STEPPED
+            # point (see solve_dual_al's rebuild notes)
+            Y = symmetrize(Y, renorm=False)
+            if U_dir is not None:
+                U_dir = symmetrize(U_dir, renorm=False)
 
         # ---- sigma schedule ----
         if pinf < opt.tau1 * gradnorm:
