@@ -111,6 +111,11 @@ class SolverOptions:
     # even as the rank bucket grows (remote-compiler compiles are the
     # dominant cold-run cost on this toolchain).
     cert_p_bucket: int = 48
+    # Working-block budget of the accuracy-deciding host-RR certificate
+    # retry (maxcut driver): host Rayleigh-Ritz has no device eigh-size
+    # cap, so the block can cover near-null clusters wider than the
+    # device cert's 42-row limit (G67's cluster, NOTES r4).
+    cert_big_block: int = 96
     # Endgame TR-budget escalation: the reference's tiny TR budgets
     # (e.g. TR_maxiter=3) assume the subproblem is nearly solved each
     # outer iteration.  When the sigma controller freezes (pinf sits

@@ -143,7 +143,15 @@ class RowCertSolver:
     def solve(self, ctx, key, k: int, X0=None, deflate=None,
               maxiter: int = 200, tol: float = 1e-9,
               use32: Optional[bool] = None, switch_tol: float = 1e-5,
-              lam_hint=None) -> CertResult:
+              lam_hint=None, block_cap: Optional[int] = None) -> CertResult:
+        """``block_cap``: total working-block budget (k + deflation
+        augmentation).  Default 24 — the measured sweet spot for warm
+        per-iteration cost.  The host Rayleigh-Ritz has NO device
+        eigh-size limit, so a caller may raise it (e.g. 96-128) to
+        certify THROUGH a near-null cluster wider than the default
+        augmentation — the accuracy-deciding retry of the maxcut
+        driver does exactly that (NOTES r4: G67's cluster exceeds the
+        device-cert 42-cap and stalled the warm residual)."""
         n = self.n
         if use32 is None:
             use32 = self._have32
@@ -161,7 +169,8 @@ class RowCertSolver:
             blocks.append(
                 jax.random.normal(key_x, (k, n), dtype=jnp.float64))
         b = blocks[0].shape[0]
-        aug_budget = max(min((n - 1) // 5 - b, 24 - b), 0)
+        cap = 24 if block_cap is None else int(block_cap)
+        aug_budget = max(min((n - 1) // 5 - b, cap - b), 0)
         if deflate is not None and aug_budget > 0:
             Yd = jnp.asarray(deflate, dtype=jnp.float64)
             p_d = min(Yd.shape[0], aug_budget)

@@ -131,7 +131,7 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
         # one dispatch per call; S = C - diag(z) applied as rows.  The
         # factor is padded to cert_p_bucket rows so the program compiles
         # once per run even as the rank shrinks/grows.
-        from ..ops.eigs_rr import DeviceCertSolver
+        from ..ops.eigs_rr import DeviceCertSolver, RowCertSolver
         from .common import bucketed as _bucketed
 
         def mvr(V, ctx):
@@ -140,6 +140,13 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
 
         solvers = {}
         warm = {"X0": None}
+        # accuracy-deciding retry: host-RR LOBPCG with a LARGE block
+        # (no device eigh-size cap), wide enough to cover the
+        # near-null cluster the warm device cert stalls on (NOTES r4:
+        # the sound Kato-Temple device bound cannot certify through a
+        # >42-dim cluster; full-budget device retries burned 2-3 outer
+        # iterations x ~10 s on G67)
+        rr_retry = RowCertSolver(mvr, n)
 
         def cert(Y, C, key):
             z, obj = z_obj(Y, C)
@@ -153,7 +160,8 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
                 [Y, jnp.zeros((dr - Y.shape[0], n), dtype=Y.dtype)])
             # warm budget ALWAYS (X0=None included: the first outer
             # iteration never certifies, and the retry below pays the
-            # full budget exactly when accuracy decides convergence)
+            # big-block budget exactly when accuracy decides
+            # convergence)
             res = solver.solve(ctx, key, X0=warm["X0"], Ypad=Ypad,
                                maxiter=opt.lobpcg_maxiter_warm,
                                tol=opt.cert_inner_tol)
@@ -161,10 +169,15 @@ def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
             cons = max(0.0, -float(res.lam_min)) / (1.0 + lam_max)
             optm = max(0.0, -float(res.neg_vals[0])) / (1.0 + lam_max)
             if cons >= opt.tol and optm < opt.tol:
-                # accuracy decides convergence -> full budget
-                res = solver.solve(ctx, key, X0=res.neg_vecs, Ypad=Ypad,
-                                   maxiter=opt.lobpcg_maxiter,
-                                   tol=opt.cert_inner_tol)
+                # accuracy decides convergence -> big-block host-RR
+                rnorm = np.asarray(jax.device_get(
+                    jnp.sqrt(jnp.sum(Y * Y, axis=1))))
+                p_act = int(np.sum(rnorm > 0.0))
+                res = rr_retry.solve(ctx, key, k, X0=res.neg_vecs,
+                                     deflate=Y[:p_act],
+                                     maxiter=opt.lobpcg_maxiter,
+                                     tol=opt.cert_inner_tol,
+                                     block_cap=opt.cert_big_block)
             warm["X0"] = res.neg_vecs
             lam_min = float(res.lam_min)
             lam_max = float(res.lam_max)
