@@ -116,6 +116,12 @@ class SolverOptions:
     # cap, so the block can cover near-null clusters wider than the
     # device cert's 42-row limit (G67's cluster, NOTES r4).
     cert_big_block: int = 96
+    # Dense-carrier operators (DenseConstraintOp / EntrywiseConstraintOp)
+    # at moderate n certify with one device f32 eigh + OA-refined f64
+    # bound (ops/dense_cert.py) instead of warm LOBPCG: measured 0.1 s
+    # vs 0.8 s per outer at mc n=2000.  Above this n the f32 eigh's
+    # n^3 cost and compile time lose to the iterative cert.
+    dense_cert_max_n: int = 4096
     # Endgame TR-budget escalation: the reference's tiny TR budgets
     # (e.g. TR_maxiter=3) assume the subproblem is nearly solved each
     # outer iteration.  When the sigma controller freezes (pinf sits
