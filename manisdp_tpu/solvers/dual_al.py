@@ -660,15 +660,22 @@ def solve_dual_al(variant_name: str, op: DualOp,
                 U_dir = symmetrize(U_dir, renorm=False)
 
         sigma_prev = sigma
+        # boost decays only on actual PROGRESS (eta halved recently),
+        # not on mere sigma movement: with an aggressive tau2 (e.g. the
+        # q >= 70 recipe) the controller moves every iteration, and a
+        # move-triggered reset killed the stagnation boost before its
+        # deep solve ever ran (observed: 60+ outers at rank 300+ with
+        # tier pinned to 0, logs/bqp80_r5b.log)
+        boost_decay = (not pinf_lock) and (it - last_improve <= 1)
         if pinf < opt.tau1 * gradnorm:
             sigma = max(sigma / opt.gama, opt.sigma_min)
             frozen = 0
-            if not pinf_lock:
-                tier = 0    # boost served its purpose: controller moves
+            if boost_decay:
+                tier = 0    # boost served its purpose: progress resumed
         elif pinf > opt.tau2 * gradnorm:
             sigma = min(sigma * opt.gama, opt.sigma_max)
             frozen = 0
-            if not pinf_lock:
+            if boost_decay:
                 tier = 0
         else:
             # plateau boost: the sigma controller freezes whenever
