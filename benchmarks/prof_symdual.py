@@ -84,7 +84,7 @@ def main():
     Y32, U32 = Y.astype(jnp.float32), U0.astype(jnp.float32)
 
     def s_apply(Yc, i, prm):
-        yv = prm["op"].apply(Yc.T @ Yc)
+        yv = prm["op"].apply_flat(Yc.T @ Yc)
         return Yc * (1.0 + 1e-20 * yv[0])
 
     def s_adjoint(Yc, i, prm, yv):
@@ -101,7 +101,7 @@ def main():
         return Yc * (1.0 + 1e-20 * g[0, 0])
 
     yv64 = jax.block_until_ready(jax.jit(
-        lambda: op.apply(Y.T @ Y))())
+        lambda: op.apply_flat(Y.T @ Y))())
     yv32 = yv64.astype(jnp.float32)
 
     chain_time("gram+apply f64", s_apply, Y, params)

@@ -284,29 +284,48 @@ class SymDualOp:
     n_orig: int = dataclasses.field(metadata=dict(static=True))
 
     # ---- DualOp-compatible surface --------------------------------------
+    # m-space values travel as PER-DEGREE TUPLES (y0, y1, Y2, Y3, Y4):
+    # a flat concatenation would copy the q^4 block at every
+    # apply/scale/adjoint boundary (~1.6 GB of extra f64 traffic per
+    # cost evaluation at q = 100 — the round-4 OOM margin).  The flat
+    # layout survives only at the host boundary (flatten_y) and as an
+    # accepted input for compatibility.
     def apply(self, M):
-        return _flatten(*_apply_tensor(M, self.q))
+        return _apply_tensor(M, self.q)
+
+    def apply_flat(self, M):
+        """Flat (m,) layout of apply() — host/test convenience only."""
+        return _flatten(*self.apply(M))
+
+    def _tup(self, y):
+        return y if isinstance(y, tuple) else _split(y, self.q)
+
+    def flatten_y(self, y):
+        return _flatten(*self._tup(y))
 
     def adjoint(self, y):
-        y0, y1, Y2, Y3, Y4 = _split(y, self.q)
+        y0, y1, Y2, Y3, Y4 = self._tup(y)
         return _adjoint_tensor(y0, y1, Y2, Y3, Y4, self.q)
 
     def y_step(self, S):
-        return self.scale_idAAt(self.apply(S) - self.Ac)
+        y0, y1, Y2, Y3, Y4 = self.apply(S)
+        return self.scale_idAAt((y0 - self.Ac, y1, Y2, Y3, Y4))
 
     def dot_b(self, y):
         """<b, y>: b is supported on the degree <= 2 prefix only."""
-        return jnp.dot(self.b, y[:self.b.shape[0]])
+        y0, y1, Y2, _, _ = self._tup(y)
+        nb = self.b.shape[0]
+        return (self.b[0] * y0 + jnp.dot(self.b[1:1 + self.q], y1)
+                + jnp.dot(self.b[1 + self.q:nb], Y2.reshape(-1)))
 
     def scale_idAAt(self, v):
         """(AA')^{-1} v with the CONSTANT per-degree class sizes — no
         length-m idAAt array (808 MB at q = 100).  Repeated-index
         slots get the degree scalar instead of 1; they are don't-care
         (never read by adjoint, zero in b)."""
-        y0, y1, Y2, Y3, Y4 = _split(v, self.q)
+        y0, y1, Y2, Y3, Y4 = self._tup(v)
         s = self.idAAt
-        return _flatten(y0 * s[0], y1 * s[1], Y2 * s[2], Y3 * s[3],
-                        Y4 * s[4])
+        return (y0 * s[0], y1 * s[1], Y2 * s[2], Y3 * s[3], Y4 * s[4])
 
     def symmetrize(self, Y, renorm: bool = True):
         """Project a (p, n~) factor onto the slot-symmetric subspace

@@ -71,11 +71,21 @@ def _scale_idAAt(op, v):
     return f(v) if f is not None else op.idAAt * v
 
 
+def _B_rmatvec(op, y):
+    """B' y for the free block; tuple m-space ops (SymDualOp) carry
+    f = 0, so the product is empty without flattening y."""
+    if isinstance(y, tuple):
+        if op.f == 0:
+            return jnp.zeros(0, dtype=jnp.float64)
+        return op.B.rmatvec(op.flatten_y(y))
+    return op.B.rmatvec(y)
+
+
 def _common_cost(Y, op: DualOp, Xm, w, sigma):
     S = Y.T @ Y
     y = op.y_step(S)
     As = op.adjoint(y) - (S - op.C) - Xm / sigma
-    Af = op.B.rmatvec(y) - op.cf - w / sigma
+    Af = _B_rmatvec(op, y) - op.cf - w / sigma
     f = _dot_b(op, y) + 0.5 * sigma * \
         (jnp.sum(As * As) + jnp.dot(Af, Af))
     return f, (S, y, As, Af)
@@ -159,7 +169,7 @@ def _make_stats(variant: DualVariant, iAB: Optional[SparseMat]):
         S = Y.T @ Y
         y = op.y_step(S)
         As = op.adjoint(y) - (S - op.C)
-        Af = op.B.rmatvec(y) - op.cf
+        Af = _B_rmatvec(op, y) - op.cf
         pinf = (jnp.sqrt(jnp.sum(As * As)) + jnp.linalg.norm(Af)) / normc
         by = _dot_b(op, y)
         if variant.unitdiag:
@@ -202,7 +212,10 @@ def solve_dual_al(variant_name: str, op: DualOp,
 
     if opt.verbose:
         print(f"ManiSDP-TPU ({variant.name}) is starting...", flush=True)
-        print(f"SDP size: n = {n}, m = {m}", flush=True)
+        # expanded operators carry an inflated flat residual length;
+        # report the true constraint count (reference parity)
+        print(f"SDP size: n = {n}, m = {getattr(op, 'm_true', m)}",
+              flush=True)
 
     problem, cost_only = _make_problem(variant, iAB)
     # Two TR budgets: the reference-default one (tier 0) and an escalated
@@ -744,6 +757,8 @@ def solve_dual_al(variant_name: str, op: DualOp,
               flush=True)
 
     Y_act = np.asarray(jax.device_get(Y))[:p]
+    if y_dev is not None and hasattr(op, "flatten_y"):
+        y_dev = op.flatten_y(y_dev)
     return SDPResult(
         X=np.asarray(jax.device_get(Xp_dev)) if Xp_dev is not None else None,
         obj=obj, Y=Y_act,

@@ -501,7 +501,10 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
 
     if opt.verbose:
         print(f"ManiSDP-TPU ({variant.name}) is starting...", flush=True)
-        print(f"SDP size: n = {n}, m = {m}", flush=True)
+        # expanded operators carry an inflated flat residual length;
+        # report the true constraint count (reference parity)
+        print(f"SDP size: n = {n}, m = {getattr(op, 'm_true', m)}",
+              flush=True)
 
     # ---- mesh sharding (SURVEY §2.7: model-axis tensor parallelism) ----
     # With a jax.sharding.Mesh, the sparse operator is partitioned by

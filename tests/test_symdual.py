@@ -90,7 +90,7 @@ def test_apply_matches_sparse():
     rng = np.random.default_rng(3)
     M = jnp.asarray(rng.standard_normal((nn, nn)))
     ys = np.asarray(sop.apply(M))
-    yt = np.asarray(top.apply(M))
+    yt = np.asarray(top.apply_flat(M))
     slots, masks = _canon_slots(q)
     rows = _row_of_mask(q)(masks)
     np.testing.assert_allclose(yt[slots], ys[rows], rtol=1e-12, atol=1e-12)
