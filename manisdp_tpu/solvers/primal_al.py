@@ -214,6 +214,7 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
             op_dev.__class__.__name__ in ("DenseConstraintOp",
                                           "EntrywiseConstraintOp") and
             n <= opt.dense_cert_max_n and
+            opt.eig_method == "auto" and      # honor forced lobpcg/eigh
             opt.cert_method in ("devrr", "rowrr")):
         # Dense-carrier certificate: sv IS the dense dual-slack matrix,
         # so one device f32 eigh (+ OA-refined f64 bound near
