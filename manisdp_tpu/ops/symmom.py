@@ -113,8 +113,9 @@ def _compress_entries(M, q):
     cP0 = 0.25 * (E[0] + E[0].T + E[1] + E[1].T)
     Td = jnp.einsum('aabc->abc', T)
     cH = 0.25 * (H + jnp.swapaxes(H, 1, 2) + Td + jnp.swapaxes(Td, 1, 2))
-    cT = 0.25 * (T + jnp.swapaxes(T, 2, 3) + jnp.swapaxes(T, 0, 1)
-                 + jnp.swapaxes(jnp.swapaxes(T, 0, 1), 2, 3))
+    # ONE minor-axis-moving transpose (swap23), then the cheap swap01
+    P = T + jnp.swapaxes(T, 2, 3)
+    cT = 0.25 * (P + jnp.swapaxes(P, 0, 1))
     return c00, cA, cD, cG, cP0, cH, cT
 
 
@@ -157,10 +158,11 @@ def _spread_entries(q, w00, wA, wD, wG, wP0, wH, wT, dtype):
     wTs = 0.25 * (wT + jnp.swapaxes(wT, 2, 3))
     wTs = wTs + jnp.swapaxes(wTs, 0, 1)     # combined with axes (2,3) sym
     d2 = eye[:, :, None, None] * eye[None, None, :, :]   # d(ij) d(kl)
-    # T[a,a,a,a] += 0.25 wD[a]
+    # T[a,a,a,a] += 0.25 wD[a]  (broadcast, NOT wD[i4] — fancy-index
+    # gathers run at ~60M elem/s f32 on TPU, 0.2 s for this tensor)
     i4, j4, k4, l4 = _iotas(q, 4)
     Tacc = jnp.where((i4 == j4) & (j4 == k4) & (k4 == l4),
-                     0.25 * wD[i4], 0.0).astype(dtype)
+                     0.25 * wD[:, None, None, None], 0.0).astype(dtype)
     # T[a,a,b,b] += 0.25 wG[a,b] (a != b; wG masked)
     Tacc = Tacc + 0.25 * wG[:, None, :, None] * d2
     # T[a,a,b,c] + T[a,a,c,b] += wHs[a,b,c] (b != c; masked)
@@ -183,7 +185,11 @@ def _masks(q):
     m_eq4 = (i3 != j3) & (k3 > i3) & (k3 > j3)
     i4, j4, k4, l4 = _iotas(q, 4)
     m_eq6a = (i4 < j4) & (j4 < k4) & (k4 < l4)
-    m_eq6b = (i4 < j4) & (j4 < l4) & (l4 < k4)
+    # row 2 of each {a<b<c<d} class lives at slot [b, a, c, d]: with
+    # this convention EVERY q^4 permute in the EQ6 read/adjoint keeps
+    # the LAST axis fixed (minor-most-dim-moving transposes cost
+    # ~20-40 ms each on TPU and dominated the Hv at q = 60)
+    m_eq6b = (j4 < i4) & (i4 < k4) & (k4 < l4)
     return off2, lt2, m_subp, m_eq4, m_eq6a, m_eq6b
 
 
@@ -206,10 +212,12 @@ def _rows_from_entries(q, c00, cA, cD, cG, cP0, cH, cT):
     EQ2 = jnp.where(lt2, cG - cP0, z2)
     tH = jnp.einsum('kij->ijk', cH)
     EQ4 = jnp.where(m_eq4, tH - cH, z3)
+    # row 1 at [a,b,c,d]: cT[b,c,a,d] - cT[a,b,c,d]  (read W1 - cT);
+    # row 2 at [b,a,c,d]: cT[b,c,a,d] - cT[a,c,b,d]  (read U - W1 at
+    # the permuted slot).  Both W1 and U keep the last axis in place.
     W1 = jnp.einsum('jkil->ijkl', cT)
-    W2 = jnp.einsum('jlik->ijkl', cT)
-    W3 = jnp.einsum('iljk->ijkl', cT)
-    EQ6 = jnp.where(m_eq6a, W1 - cT, z4) + jnp.where(m_eq6b, W2 - W3, z4)
+    U6 = jnp.einsum('ikjl->ijkl', cT)
+    EQ6 = jnp.where(m_eq6a, W1 - cT, z4) + jnp.where(m_eq6b, U6 - W1, z4)
     return jnp.concatenate([
         r0[None], D1, D2.reshape(-1), SUBv.reshape(-1), SUBp.reshape(-1),
         EQ2.reshape(-1), EQ4.reshape(-1), EQ6.reshape(-1)])
@@ -255,14 +263,15 @@ def _entries_from_rows(q, y, dtype):
     wH = (2.0 * ySv[:, None, :] * eye[:, :, None]
           + jnp.einsum('ijk->kij', yE4) - yE4)
     # wT: D2 -> -0.5 cT[a,b,a,b]; SUBp -> +2 cT[k,b,k,c];
-    # EQ6 -> +cT[j,k,i,l] - cT[i,j,k,l] + cT[j,l,i,k] - cT[i,l,j,k]
+    # EQ6 row 1 reads +cT[j,k,i,l] - cT[i,j,k,l]; row 2 (slot
+    # [b,a,c,d]) reads +cT[i,k,j,l] - cT[j,k,i,l] — adjoints are the
+    # last-axis-preserving permutes 'cabd'/'acbd'
     dik = eye[:, None, :, None]
     djl = eye[None, :, None, :]
     wT = (-0.5 * yD2[:, :, None, None] * dik * djl
           + 2.0 * ySp[:, :, None, :] * dik
-          + jnp.einsum('cabd->abcd', y6a) - y6a
-          + jnp.einsum('cadb->abcd', y6b)
-          - jnp.einsum('acdb->abcd', y6b))
+          + jnp.einsum('cabd->abcd', y6a - y6b) - y6a
+          + jnp.einsum('acbd->abcd', y6b))
     # mask to the read conventions of _spread_entries
     i2, j2 = _iotas(q, 2)
     wG = jnp.where(off2, wG, z2)

@@ -59,7 +59,7 @@ def _flat_slot_map(q):
         elif len(supp1) == 4:
             a, b, c, d = supp1
             idx += [bE6 + ((a * q + b) * q + c) * q + d,
-                    bE6 + ((a * q + b) * q + d) * q + c]
+                    bE6 + ((b * q + a) * q + c) * q + d]
     return np.asarray(idx)
 
 
