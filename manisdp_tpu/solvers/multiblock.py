@@ -300,7 +300,14 @@ def solve_multiblock(At, b, c, ns: Sequence[int], nob: int,
                     ps[bidx] = r
                     pb = r
             vals, vecs = certs[bidx]
-            if bidx < nob:
+            if dinf <= opt.tol:
+                # no escape when the certificate already passes: raw
+                # sign counting appends junk directions off -1e-18
+                # noise eigenvalues at a converged point and the
+                # endgame limit-cycles (see primal_al.py rank update;
+                # observed on control1)
+                nne = 0
+            elif bidx < nob:
                 nne = max(min(int(np.sum(vals < 0)), opt.delta), 1)
             else:
                 nne = min(int(np.sum(vals < 0)), opt.delta)

@@ -741,7 +741,14 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
                 break
 
         # ---- rank update ----
-        nne = rank.num_escape(num_neg)
+        # no escape when the certificate already passes: num_neg
+        # counts RAW negative eigenvalues, so a -1e-18 sign-noise
+        # eigenvalue at a converged point appends a junk direction and
+        # the endgame limit-cycles (observed on control1: dinf
+        # oscillating 1e-16 <-> 1e-3 for 100+ outers while gap/pinf
+        # sat at 1e-4; the reference has the same raw-sign rule but
+        # cannot run the K.l classes at all)
+        nne = rank.num_escape(num_neg) if dinf > opt.tol else 0
         p_new = (r if r <= p - 1 else p) + nne
         if not sharded and variant.manifold is not Sphere:
             # fully on-device (VERDICT r3 item 10 / NOTES roadmap 1):

@@ -7,4 +7,4 @@
 # tests purely on CPU (tests/conftest.py also forces the cpu platform
 # and an 8-device virtual mesh).
 exec env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu MANISDP_JAX_CACHE= \
-    python -m pytest tests/ -q "$@"
+    python -m pytest tests/ -q -m "not slow" "$@"

@@ -36,8 +36,10 @@ TRUSS = dict(tr_maxiter=20, tr_maxinner=80, sigma0=1.0, sigma_min=1e-1,
              tau1=1e-2, tau2=1e-1)
 ARCH = dict(tr_maxiter=20, tr_maxinner=100, sigma0=1.0, sigma_min=1e-1,
             tau1=1e-2, tau2=1e-1, max_outer=250)
-CTRL = dict(tr_maxiter=20, tr_maxinner=100, sigma0=1e1, sigma_min=1e0,
-            tau1=1e-3, tau2=1e-2, max_outer=200)
+CTRL = dict(tr_maxiter=30, tr_maxinner=200, sigma0=1e1, sigma_min=1e0,
+            tau1=1e-3, tau2=1e-2, max_outer=400)
+SS30 = dict(tr_maxiter=20, tr_maxinner=80, sigma0=1.0, sigma_min=1e-1,
+            tau1=1e-2, tau2=1e-1, max_outer=600)
 
 # (name, certified optimum from data/sdplib/README, tol, eta bound,
 #  obj rtol, kw).  The mcp* rows run the full 1e-8 contract (VERDICT
@@ -63,8 +65,27 @@ TABLE = [
     ("truss3", -9.109996e+00, 1e-6, 1e-5, 1e-4, TRUSS),
     ("truss4", -9.009996e+00, 1e-6, 1e-5, 1e-4, TRUSS),
     ("arch0", 5.66517e-01, 1e-8, 5e-3, 2e-2, ARCH),
-    ("control1", 1.778463e+01, 1e-8, 1e-3, 1e-3, CTRL),
+    # control1 tightened 100x in round 5 (escape gating on dinf <= tol
+    # killed the junk-escape limit cycle; the residual ~1e-5 floor of
+    # the K.l+PSD mixed class is analyzed in NOTES.md round-5 section)
+    ("control1", 1.778463e+01, 1e-8, 5e-5, 5e-5, CTRL),
 ]
+
+# heavyweight certified rows (run with `pytest -m slow`): excluded from
+# run_tests.sh to keep the suite under ~12 min on the 2-vCPU host
+SLOW_TABLE = [
+    ("maxG11", 6.291648e+02, 1e-8, 1e-8, 1e-6, dict(max_outer=700)),
+    ("ss30", 2.02395e+01, 1e-8, 1e-6, 1e-5, SS30),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,certified,tol,eta_max,obj_rtol,kw",
+                         SLOW_TABLE, ids=[t[0] for t in SLOW_TABLE])
+def test_sdplib_certified_optimum_slow(name, certified, tol, eta_max,
+                                       obj_rtol, kw):
+    test_sdplib_certified_optimum(name, certified, tol, eta_max,
+                                  obj_rtol, kw)
 
 
 @pytest.mark.parametrize("name,certified,tol,eta_max,obj_rtol,kw",
