@@ -206,7 +206,10 @@ def bench_bqp_primal(q, baseline):
     ManiSDP_unitdiag on bqpmom; example/example_bqp.m:10-15)."""
     from manisdp_tpu.solvers.primal_mom import solve_bqp_mom
     Q, e = _bqp_instance(q)
-    kw = dict(verbose=False, inner_dtype="tcg32", p_bucket=64)
+    # p_bucket=192: one rank-bucket shape for the whole ramp (peak
+    # p ~ 170) — bucket transitions cost 30-55 s program (re)loads
+    # even warm (per-solve jit closures; logs/bqp60p_r5b.log)
+    kw = dict(verbose=False, inner_dtype="tcg32", p_bucket=192)
     dt, res, cold, warm = _timed_runs(
         lambda: solve_bqp_mom(Q, e, q, **kw))
     return _emit(f"bqp_q{q}_primal_warmsolve_to_kkt1e-8", dt, baseline,
