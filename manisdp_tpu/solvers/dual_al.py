@@ -489,6 +489,7 @@ def solve_dual_al(variant_name: str, op: DualOp,
     last_improve = 0
     pinf_anchor = np.inf    # sigma_push state: pinf at last sigma raise
     anchor_it = 0
+    hold_boost = -1         # boost held through terminal-escape recovery
 
     timers = PhaseTimers()
     for it in range(1, opt.max_outer + 1):
@@ -631,6 +632,20 @@ def solve_dual_al(variant_name: str, op: DualOp,
             # ramps sigma (the AL convergence event); escapes stay off
             tier = 1
         nne = rank.num_escape(num_neg) if dinf > dinf_floor else 0
+        if nne and pinf <= opt.tol and gap <= opt.tol:
+            # terminal gentle escape: gap/pinf are DONE and only dinf
+            # marginally fails — append ONLY the most negative
+            # direction AND force a deep next solve so the multiplier
+            # update reflects a fully re-minimized point.  A
+            # delta-sized escape followed by a shallow solve at the
+            # converged rank-1 point re-excites pinf to O(1) and
+            # restarts a 15-iteration ramp cycle
+            # (logs/dual60_tune.log iters 32-47: dinf 2.6e-8 cost
+            # 70 s of re-convergence).
+            nne = 1
+            if opt.endgame_boost:
+                tier = 1
+                hold_boost = it + 3     # hold through the recovery
         vs = neg_vecs[:, :nne]
         if symmetrize is not None:
             # duplicated-basis correspondence: the lift of a unit
@@ -679,7 +694,8 @@ def solve_dual_al(variant_name: str, op: DualOp,
         # move-triggered reset killed the stagnation boost before its
         # deep solve ever ran (observed: 60+ outers at rank 300+ with
         # tier pinned to 0, logs/bqp80_r5b.log)
-        boost_decay = (not pinf_lock) and (it - last_improve <= 1)
+        boost_decay = (not pinf_lock) and (it - last_improve <= 1) \
+            and it > hold_boost
         if pinf < opt.tau1 * gradnorm:
             sigma = max(sigma / opt.gama, opt.sigma_min)
             frozen = 0

@@ -34,8 +34,8 @@ THETA_BIG = dict(tr_maxiter=10, tr_maxinner=60, sigma0=1e2,
                  tau1=1e-3, tau2=1e-2)
 TRUSS = dict(tr_maxiter=20, tr_maxinner=80, sigma0=1.0, sigma_min=1e-1,
              tau1=1e-2, tau2=1e-1)
-ARCH = dict(tr_maxiter=20, tr_maxinner=100, sigma0=1.0, sigma_min=1e-1,
-            tau1=1e-2, tau2=1e-1, max_outer=250)
+ARCH = dict(tr_maxiter=30, tr_maxinner=150, sigma0=1.0, sigma_min=1e-1,
+            tau1=1e-2, tau2=1e-1, max_outer=300)
 CTRL = dict(tr_maxiter=30, tr_maxinner=200, sigma0=1e1, sigma_min=1e0,
             tau1=1e-3, tau2=1e-2, max_outer=400)
 SS30 = dict(tr_maxiter=20, tr_maxinner=80, sigma0=1.0, sigma_min=1e-1,
@@ -64,7 +64,10 @@ TABLE = [
     ("truss1", -8.999996e+00, 1e-6, 1e-5, 1e-4, TRUSS),
     ("truss3", -9.109996e+00, 1e-6, 1e-5, 1e-4, TRUSS),
     ("truss4", -9.009996e+00, 1e-6, 1e-5, 1e-4, TRUSS),
-    ("arch0", 5.66517e-01, 1e-8, 5e-3, 2e-2, ARCH),
+    # arch0 floors at eta ~6e-4 / obj rel ~1.4e-3 (round-5 sweep,
+    # logs/arch0_diag*.log: tighter tau or larger sigma both blow the
+    # gap; analysis in NOTES.md) — bounds tightened 5-10x from r4
+    ("arch0", 5.66517e-01, 1e-8, 1e-3, 2e-3, ARCH),
     # control1 tightened 100x in round 5 (escape gating on dinf <= tol
     # killed the junk-escape limit cycle; the residual ~1e-5 floor of
     # the K.l+PSD mixed class is analyzed in NOTES.md round-5 section)
