@@ -88,7 +88,11 @@ def _common_cost(Y, op: DualOp, Xm, w, sigma):
     Af = _B_rmatvec(op, y) - op.cf - w / sigma
     f = _dot_b(op, y) + 0.5 * sigma * \
         (jnp.sum(As * As) + jnp.dot(Af, Af))
-    return f, (S, y, As, Af)
+    # SLIM aux: only (As, Af) — the gradients never read S or y, and
+    # the TR while_loop CARRIES aux across iterations (plus an f32
+    # cast inside tcg32), so keeping the (n, n) S and the q^4
+    # y-tensor alive cost ~2.4 GB at q = 100 (the round-5 OOM margin)
+    return f, (As, Af)
 
 
 def _make_problem(variant: DualVariant, iAB: Optional[SparseMat]):
@@ -103,7 +107,7 @@ def _make_problem(variant: DualVariant, iAB: Optional[SparseMat]):
         # ManiDSDP_unitdiag.m:183-194
         def grad(Y, params, aux):
             op, sigma = params["op"], params["sigma"]
-            _, _, As, _ = aux
+            As, _ = aux
             Xh = op.bA - sigma * As
             eG = 2.0 * Y @ Xh
             YeG = jnp.sum(Y * eG, axis=0)
@@ -122,7 +126,7 @@ def _make_problem(variant: DualVariant, iAB: Optional[SparseMat]):
         # ManiDSDP.m:162-177
         def grad(Y, params, aux):
             op, sigma = params["op"], params["sigma"]
-            _, _, As, Af = aux
+            As, Af = aux
             Xh = op.bA + sigma * (
                 _iab_mat(iAB, op.n, Af)
                 + op.adjoint(_scale_idAAt(op, op.apply(As))) - As)
