@@ -22,7 +22,7 @@ Q = rng.standard_normal((q, q))
 Q = (Q + Q.T) / 2.0
 e = rng.standard_normal(q)
 t0 = time.time()
-res = solve_bqp_sos_dual(Q, e, q, line_search=True, verbose=2,
+res = solve_bqp_sos_dual(Q, e, q, line_search=(q < 100), verbose=2,
                          inner_dtype="tcg32", p_bucket=96,
                          max_outer=250)
 wall = time.time() - t0

@@ -170,6 +170,9 @@ def _make_stats(variant: DualVariant, iAB: Optional[SparseMat]):
 
     @jax.jit
     def stats(Y, op, Xm, w, sigma, normc):
+        # NOTE: S and y are NOT returned — holding them across outer
+        # iterations kept ~1.6 GB alive at q = 100 (RESOURCE_EXHAUSTED
+        # at iter 2); the driver recomputes them once at finalization.
         S = Y.T @ Y
         y = op.y_step(S)
         As = op.adjoint(y) - (S - op.C)
@@ -195,7 +198,7 @@ def _make_stats(variant: DualVariant, iAB: Optional[SparseMat]):
             Xp = eX
             obj = jnp.sum(op.C * eX) + jnp.dot(op.cf, w_new)
         gap = jnp.abs(obj - by) / (1.0 + jnp.abs(obj) + jnp.abs(by))
-        return S, y, Xm_new, w_new, Xp, z, obj, pinf, by, gap
+        return Xm_new, w_new, Xp, z, obj, pinf, by, gap
 
     return stats
 
@@ -535,7 +538,7 @@ def solve_dual_al(variant_name: str, op: DualOp,
         total_hess += int(res.inner_iters)
 
         with timers.timed("stats"):
-            (S_dev, y_dev, Xm, w, Xp_dev, z_dev, obj_d, pinf_d, by_d,
+            (Xm, w, Xp_dev, z_dev, obj_d, pinf_d, by_d,
              gap_d) = stats_fn(Y, op, Xm, w, jnp.float64(sigma), normc)
             if symmetrize is not None:
                 # keep the multiplier on the duplicate-symmetric
@@ -777,6 +780,11 @@ def solve_dual_al(variant_name: str, op: DualOp,
               flush=True)
 
     Y_act = np.asarray(jax.device_get(Y))[:p]
+    # finalize S / y from the factor (not held during the loop — the
+    # q^4 y-tensor and the (n, n) S cost ~1.6 GB of liveness at q=100)
+    if it > 0 and Xp_dev is not None:
+        S_dev = Y.T @ Y
+        y_dev = op.y_step(S_dev)
     if y_dev is not None and hasattr(op, "flatten_y"):
         y_dev = op.flatten_y(y_dev)
     return SDPResult(
