@@ -45,7 +45,7 @@ import time
 GSET = os.environ.get("BENCH_GSET_DIR", "/root/reference/data/Gset")
 DATA = os.environ.get("BENCH_DATA_DIR", "/root/reference/data")
 BENCH_SET = os.environ.get("BENCH_SET", "full")
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "3200"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "4200"))
 T0 = time.time()
 
 # a warm run re-executes the solve with every program compiled; the
@@ -246,11 +246,11 @@ def main():
         run(bench_maxcut, 260, "G67", 240.0, False, trials=3)
         run(bench_bqp_dual, 450, 60, 134.0,
             {"dual_txt_row2": 37.0, "manidsdp_table_d60": 20.5})
-        run(bench_bqp_primal, 700, 60, 178.0)
+        run(bench_bqp_primal, 550, 60, 178.0)
         # q = 80 SOS dual: m = 1.67M — the reference's own table
         # measures 322 s (data/bqp_result.txt:27); unreachable for the
         # repo before round 5 (r4: status 1 at 2,077 s)
-        run(bench_bqp_dual, 1400, 80, 322.0,
+        run(bench_bqp_dual, 1300, 80, 322.0,
             {"manidsdp_table_d80": 322.0}, p_bucket=128)
     if not ROWS:
         print(json.dumps({"metric": "bench_failed", "value": 0.0,
