@@ -72,6 +72,10 @@ class SolverOptions:
     #   "lobpcg" = the jax lobpcg_standard path (kept for the
     #             mesh-sharded cert; its (n, k) column layout measured
     #             ~112 ms per raw matvec chain step at G67 size).
+    #   "dense_eigh" = dense-carrier f32 device eigh + OA-refined f64
+    #             bound (ops/dense_cert.py) for moderate n — opt-in:
+    #             wins when near-tier calls are rare; on fast
+    #             convergers the fallback host eighs lose to devrr.
     cert_method: str = "devrr"
     # LOBPCG certificate budgets: the warm-started cert (X0 carried
     # across outer iterations) uses the cheap budget; the full budget is

@@ -215,7 +215,11 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
                                           "EntrywiseConstraintOp") and
             n <= opt.dense_cert_max_n and
             opt.eig_method == "auto" and      # honor forced lobpcg/eigh
-            opt.cert_method in ("devrr", "rowrr")):
+            # OPT-IN: on the mc class the near tier's OA bound misses
+            # its slack target and host-eigh fallbacks (4-8 s each)
+            # made the cert SLOWER than warm LOBPCG (bench r5 local:
+            # 10.9 s vs 4.8 s over 6 outers) — keep devrr the default
+            opt.cert_method == "dense_eigh"):
         # Dense-carrier certificate: sv IS the dense dual-slack matrix,
         # so one device f32 eigh (+ OA-refined f64 bound near
         # convergence) replaces the warm LOBPCG entirely
