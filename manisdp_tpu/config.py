@@ -138,6 +138,20 @@ class SolverOptions:
     boost_tr_maxiter: int = 30
     boost_tr_maxinner: int = 200
     boost_after: int = 5          # consecutive frozen-sigma endgame iters
+    # Ramp-phase deep-solve trigger (round 5, q=100): a long rank ramp
+    # can hover at the pinf ~ tau2*gradnorm controller boundary with
+    # sigma toggling every iteration and the gap bouncing around 1e-3,
+    # so NEITHER the frozen-sigma, eta-stagnation nor sigma_push
+    # trigger ever fires and no deep solve collapses gradnorm — the AL
+    # convergence event ("deep solve -> gradnorm collapses -> sigma
+    # ramps -> pinf contracts superlinearly") never happens
+    # (logs/bqp100_r5e.log: 82 outers, pinf 1800 -> 10, tier pinned to
+    # 0 for the whole run).  When the BEST pinf has not halved for
+    # ramp_deep_after consecutive tier-0 outers while gap <=
+    # ramp_deep_gap, force the deep tier; the progress-gated decay
+    # returns to tier 0 as usual.  ramp_deep_after=0 disables.
+    ramp_deep_after: int = 12
+    ramp_deep_gap: float = 5e-2
     # Forced sigma escalation on pinf stagnation (round 5): the
     # tau1/tau2 pinf-vs-gradnorm controller can wander indefinitely at
     # sigma ~ sigma_min when the inner budget leaves gradnorm ~1e-1

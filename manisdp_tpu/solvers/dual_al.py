@@ -356,7 +356,9 @@ def solve_dual_al(variant_name: str, op: DualOp,
         cert_warm = {"X0": None}
 
         def lob_cert(Xp, key, gap, pinf):
-            far = max(gap, pinf) > opt.cert_cheap_eta
+            # ADVICE r4: gate on max(cert_cheap_eta, tol) so a loose
+            # user tol never terminates off the cheap-budget solve
+            far = max(gap, pinf) > max(opt.cert_cheap_eta, opt.tol)
             mi = opt.lobpcg_maxiter_cheap if far \
                 else opt.lobpcg_maxiter_warm
             res = cert_solver.solve(Xp, key, X0=cert_warm["X0"],
@@ -497,6 +499,8 @@ def solve_dual_al(variant_name: str, op: DualOp,
     pinf_anchor = np.inf    # sigma_push state: pinf at last sigma raise
     anchor_it = 0
     hold_boost = -1         # boost held through terminal-escape recovery
+    best_pinf = np.inf      # ramp trigger state: best pinf, last halve
+    pinf_improve_it = 0
 
     timers = PhaseTimers()
     for it in range(1, opt.max_outer + 1):
@@ -593,6 +597,32 @@ def solve_dual_al(variant_name: str, op: DualOp,
         if (opt.endgame_boost and tier == 0 and gap <= 1e-3 and
                 eta > opt.tol and it - last_improve >= 2 * opt.boost_after):
             tier = 1
+        # ramp-phase trigger (config.ramp_deep_after): a long rank ramp
+        # can hover at the pinf ~ tau2*gradnorm controller boundary —
+        # sigma toggles up/down every iteration (which starves
+        # sigma_push, whose anchor resets on every sigma raise), the
+        # gap bounces around 1e-3 (which starves the gap-gated
+        # triggers), and pinf wanders O(10-100) for 40+ outers with
+        # dinf already tiny (logs/bqp100_r5e.log: 82 outers, tier
+        # pinned to 0, sigma oscillating 0.002-0.064).  The robust
+        # stuck-ramp signature is that the BEST pinf stops halving:
+        # when that stalls for ramp_deep_after tier-0 outers while the
+        # gap is small-ish, force the deep tier so gradnorm collapses
+        # and the tau2 comparison can ramp sigma decisively (the AL
+        # convergence event); progress-gated decay returns to tier 0.
+        if tier == 1:
+            best_pinf = pinf
+            pinf_improve_it = it
+        else:
+            if pinf < 0.5 * best_pinf:
+                best_pinf = pinf
+                pinf_improve_it = it
+            if (opt.endgame_boost and opt.ramp_deep_after and
+                    gap <= opt.ramp_deep_gap and pinf > opt.tol and
+                    eta > opt.tol and
+                    it - pinf_improve_it >= opt.ramp_deep_after):
+                tier = 1
+                pinf_improve_it = it
         if eta < opt.tol:
             if opt.verbose:
                 print("Optimality is reached!", flush=True)

@@ -320,7 +320,9 @@ def _make_certificate(variant: ALVariant, op_host, n: int, k: int,
             Ypad = Y if Y.shape[0] == dr else jnp.concatenate(
                 [Y, jnp.zeros((dr - Y.shape[0], n), dtype=Y.dtype)])
             ctx = dict(op=op, sv=sv, z=z)
-            far = max(gap, pinf) > opt.cert_cheap_eta
+            # ADVICE r4: gate on max(cert_cheap_eta, tol) so a loose
+            # user tol never terminates off the cheap-budget solve
+            far = max(gap, pinf) > max(opt.cert_cheap_eta, opt.tol)
             mi = opt.lobpcg_maxiter_cheap if far \
                 else opt.lobpcg_maxiter_warm
             res = solver.solve(ctx, key, X0=warm["X0"], Ypad=Ypad,
