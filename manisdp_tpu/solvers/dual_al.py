@@ -203,6 +203,15 @@ def _make_stats(variant: DualVariant, iAB: Optional[SparseMat]):
     return stats
 
 
+# Cross-solve cache of jitted solver/stats closures (NOTES r5 item 3).
+# Entries are keyed on everything that shapes the trace (variant,
+# budget, dtype config) and only populated for closures that capture no
+# solve-specific data; see the factory in solve_dual_al.  Bounded in
+# practice by the handful of (variant, tier) combinations a process
+# touches.
+_XSOLVE_CACHE: dict = {}
+
+
 def solve_dual_al(variant_name: str, op: DualOp,
                   options: Optional[SolverOptions] = None,
                   iAB: Optional[SparseMat] = None,
@@ -251,6 +260,27 @@ def solve_dual_al(variant_name: str, op: DualOp,
 
     def factory(key):
         _, tier, u32 = key
+        # Cross-SOLVE closure reuse (NOTES r5 item 3): the unitdiag
+        # problem closures capture NO solve-specific arrays (op/Xm/w/
+        # sigma all travel through ``params``), so the jitted callable
+        # is reusable across solve calls with identical variant +
+        # budget + dtype config.  Reusing the SAME jax.jit object lets
+        # the in-process executable cache hit on the warm run instead
+        # of re-tracing and re-LOADING every program from the
+        # persistent compile cache (measured 15-50 s per bucket shape
+        # on the axon remote compiler — the warm-run tax every bench
+        # row was paying).  Gated off whenever iAB is present (the
+        # general-variant closures capture it) or inner_dtype="mixed"
+        # (problem32 captures op32).
+        ck = None
+        if iAB is None and opt.inner_dtype != "mixed":
+            import os as _os
+            ck = (variant_name, dataclasses.astuple(budget(tier, u32)),
+                  opt.inner_dtype, opt.line_search,
+                  _os.environ.get("MANISDP_LS_TAIL"))
+            hit = _XSOLVE_CACHE.get(ck)
+            if hit is not None:
+                return hit
         solve = jax.jit(make_trustregions(problem, budget(tier, u32)))
         ls = make_line_search(
             cost_only, M.renormalize,
@@ -266,10 +296,22 @@ def solve_dual_al(variant_name: str, op: DualOp,
                              tolgradnorm=max(opt.mixed_tolgradnorm,
                                              t.tolgradnorm))
             solve32 = jax.jit(make_trustregions(problem32, tr32))
-        return solve, solve32, ls
+        out = (solve, solve32, ls)
+        if ck is not None:
+            _XSOLVE_CACHE[ck] = out
+        return out
 
     cache = JitCache(factory)
-    stats_fn = _make_stats(variant, iAB)
+    # stats closures are likewise data-free when iAB is None — reuse
+    # the jitted stats program across solves (same rationale as above)
+    if iAB is None:
+        sk = ("stats", variant_name)
+        stats_fn = _XSOLVE_CACHE.get(sk)
+        if stats_fn is None:
+            stats_fn = _make_stats(variant, iAB)
+            _XSOLVE_CACHE[sk] = stats_fn
+    else:
+        stats_fn = _make_stats(variant, iAB)
 
     # Two-tier warm-started LOBPCG certificate (same scheme as the
     # maxcut driver): the warm budget rides the previous iteration's

@@ -493,6 +493,11 @@ def _device_rank_rebuild(cache, variant, opt, k_cert, Y, UlT, vsT,
               jnp.int32(r), jnp.int32(nne), jnp.float64(opt.alpha))
 
 
+# Cross-solve cache of jitted solver/stats closures (NOTES r5 item 3);
+# see the factory in solve_primal_al for the reuse contract.
+_XSOLVE_CACHE: dict = {}
+
+
 def solve_primal_al(variant_name: str, op: ConstraintOp,
                     options: Optional[SolverOptions] = None,
                     Y0: Optional[np.ndarray] = None,
@@ -586,6 +591,24 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
 
     def factory(key):
         _, tier, u32 = key
+        # Cross-SOLVE closure reuse (NOTES r5 item 3, same scheme as
+        # dual_al): problem/stats closures capture only the variant
+        # (op and multipliers travel through ``params``), so the
+        # jitted callables are reusable across solve calls — the warm
+        # run then hits the in-process executable cache instead of
+        # re-tracing and re-loading programs from the persistent
+        # compile cache (15-50 s per bucket shape on the axon remote
+        # compiler).  Gated off under shard_map (mesh-specific wraps).
+        ck = None
+        if not sharded:
+            import dataclasses as _dc
+            import os as _os
+            ck = (variant_name, _dc.astuple(budget(tier, u32)),
+                  opt.inner_dtype, float(opt.mixed_tolgradnorm),
+                  _os.environ.get("MANISDP_LS_TAIL"))
+            hit = _XSOLVE_CACHE.get(ck)
+            if hit is not None:
+                return hit
         base = make_trustregions(problem, budget(tier, u32))
         solve32 = None
         if sharded:
@@ -607,7 +630,10 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
             base32 = make_trustregions(problem, tr32)
             solve32 = shard_wrap(base32, (_P(), param_specs, _P())) \
                 if sharded else jax.jit(base32)
-        return solve, solve32, ls
+        out = (solve, solve32, ls)
+        if ck is not None:
+            _XSOLVE_CACHE[ck] = out
+        return out
 
     cache = JitCache(factory)
     rebuild_cache = {}
@@ -618,8 +644,8 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
         op32 = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.float32)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, op_dev)
-    stats_raw = _make_stats(variant)
     if sharded:
+        stats_raw = _make_stats(variant)
         stats_fn = shard_wrap(
             stats_raw, (_P(), op_specs, _P(), _P()),
             out_specs=(_P(), _P(), _P(), sv_spec, _P(), _P(), _P()))
@@ -628,7 +654,12 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
         cert_fn = _make_certificate(variant, op, n, k_cert, use_eigh, opt,
                                     wrap=cert_wrap, sv_unpad=sv_unpad)
     else:
-        stats_fn = jax.jit(stats_raw)
+        # reuse the jitted stats program across solves (data-free)
+        sk = ("stats", variant_name)
+        stats_fn = _XSOLVE_CACHE.get(sk)
+        if stats_fn is None:
+            stats_fn = jax.jit(_make_stats(variant))
+            _XSOLVE_CACHE[sk] = stats_fn
         cert_fn = _make_certificate(variant, op, n, k_cert, use_eigh, opt,
                                     op_dev=op_dev)
     rank = RankController(opt.theta, opt.delta, opt.alpha,
