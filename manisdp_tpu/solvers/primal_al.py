@@ -851,11 +851,18 @@ def solve_primal_al(variant_name: str, op: ConstraintOp,
             sigma = min(sigma * opt.gama, opt.sigma_max)
             frozen = 0
         else:
-            # endgame boost: sigma frozen with only dinf above tol ->
-            # the subproblem is under-resolved; escalate the TR budget
-            if (opt.endgame_boost and tier == 0 and
-                    gap <= 10 * opt.tol and pinf <= 10 * opt.tol and
-                    dinf > opt.tol):
+            # endgame boost: sigma frozen with dinf the DOMINANT
+            # blocker -> the subproblem is under-resolved; escalate
+            # the TR budget.  The gate is "near convergence AND dinf
+            # clearly dominates", not an absolute 10*tol box: theta1
+            # at the 1e-8 contract hovers at gap ~2e-7 / pinf ~5e-7
+            # with dinf ~3e-6 and sigma frozen — the old 10*tol gate
+            # (1e-7) never opened, no deep solve ever fired, and
+            # SlowProgress killed the run at eta 2.8e-6
+            # (logs/theta1_diag.log, round-5 regression).
+            near = max(gap, pinf) <= max(1e-6, 10 * opt.tol)
+            if (opt.endgame_boost and tier == 0 and near and
+                    dinf > opt.tol and dinf > 2.0 * max(gap, pinf)):
                 frozen += 1
                 if frozen >= opt.boost_after:
                     tier = 1
