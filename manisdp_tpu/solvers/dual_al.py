@@ -702,7 +702,15 @@ def solve_dual_al(variant_name: str, op: DualOp,
         # more outers — logs/bqp60_r5a.log iter 30).  dinf is "not the
         # blocker" when it sits at max(tol, well below both pinf and
         # an absolute near-convergence level).
-        dinf_floor = max(opt.tol, min(1e-5, 1e-3 * pinf))
+        # 1e-2 (not 1e-3): with the round-5 memory-diet trajectory the
+        # q=60 endgame reached gap 2.5e-10 / pinf 2.2e-5 / dinf 7.9e-8
+        # at iter 25 and the 1e-3 floor (2.2e-8) still let the escape
+        # fire — pinf re-excited to 0.75 and the solve burned 27 more
+        # outers re-converging (logs/bqp60_trigger_val2.log iters
+        # 25-52).  Two orders below pinf is still decisively "pinf is
+        # the blocker"; once pinf itself reaches tol the terminal
+        # gentle escape handles any residual dinf.
+        dinf_floor = max(opt.tol, min(1e-5, 1e-2 * pinf))
         pinf_lock = (opt.endgame_boost and gap <= 1e-3 and
                      dinf <= dinf_floor and pinf > opt.tol)
         if pinf_lock:
