@@ -71,12 +71,29 @@ def make_maxcut_problem(dense: bool = True) -> Problem:
     return Problem(manifold=Oblique, cost=cost, grad=grad, hess=hess)
 
 
+_XSOLVE_CACHE: dict = {}
+
+
 def _make_inner(opt: SolverOptions, dense: bool, use32: bool = None):
-    """RTR solve + certificate, jit-cached per (p_pad, use32)."""
+    """RTR solve + certificate, jit-cached per (p_pad, use32).
+
+    The closures capture no solve-specific data (the cost matrix C
+    rides as an argument), so they are reused ACROSS solve calls via a
+    module-level cache keyed on everything that shapes the trace —
+    warm runs and repeat trials then hit the in-process executable
+    cache instead of re-tracing and re-loading programs from the
+    persistent compile cache (15-50 s per shape on the axon remote
+    compiler; NOTES r5 item 3, same scheme as dual_al/primal_al)."""
     problem = make_maxcut_problem(dense)
     cost = problem.cost
     if use32 is None:
         use32 = opt.inner_dtype == "tcg32"
+    ck = (dense, use32, opt.tr_maxiter, opt.tr_maxinner,
+          float(opt.tolgradnorm), opt.inner_dtype,
+          float(opt.mixed_tolgradnorm))
+    hit = _XSOLVE_CACHE.get(ck)
+    if hit is not None:
+        return hit
     # tcg32 applies to the sparse cost path only: the dense path is
     # already MXU-fast at its sizes, and the axon remote compiler
     # SIGABRTs (Check failed: buffer != nullptr in HloOptimize) on the
@@ -99,7 +116,9 @@ def _make_inner(opt: SolverOptions, dense: bool, use32: bool = None):
         return cost(Y, C)[0]
 
     line_search = make_line_search(cost_only, Oblique.renormalize)
-    return solve, solve32, line_search
+    out = (solve, solve32, line_search)
+    _XSOLVE_CACHE[ck] = out
+    return out
 
 
 def _make_cert(opt: SolverOptions, n: int, k: int, use_eigh: bool,
