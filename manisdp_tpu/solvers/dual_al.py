@@ -543,6 +543,7 @@ def solve_dual_al(variant_name: str, op: DualOp,
     hold_boost = -1         # boost held through terminal-escape recovery
     best_pinf = np.inf      # ramp trigger state: best pinf, last halve
     pinf_improve_it = 0
+    term_dinf = None        # dinf at the previous terminal gentle escape
 
     timers = PhaseTimers()
     for it in range(1, opt.max_outer + 1):
@@ -710,6 +711,7 @@ def solve_dual_al(variant_name: str, op: DualOp,
         # 25-52).  Two orders below pinf is still decisively "pinf is
         # the blocker"; once pinf itself reaches tol the terminal
         # gentle escape handles any residual dinf.
+        esc_ls = opt.line_search
         dinf_floor = max(opt.tol, min(1e-5, 1e-2 * pinf))
         pinf_lock = (opt.endgame_boost and gap <= 1e-3 and
                      dinf <= dinf_floor and pinf > opt.tol)
@@ -733,6 +735,21 @@ def solve_dual_al(variant_name: str, op: DualOp,
             if opt.endgame_boost:
                 tier = 1
                 hold_boost = it + 3     # hold through the recovery
+            # terminal limit-cycle breaker: when the line-searched
+            # gentle kick fails to contract dinf by >= 25% per cycle,
+            # the step is too timid (the decrease from a ~1e-7
+            # curvature direction sits below the f32 line-search noise
+            # floor, so alpha collapses to ~0) — observed at q = 80:
+            # five cycles of ~22 s each shaved dinf 2.5e-7 -> 1.7e-7
+            # (logs/bqp80_trigger_val.log iters 63-71).  Fall back to
+            # the reference's constant alpha-sized append
+            # (ManiDSDP_unitdiag.m:117-121) whose decisive kick the
+            # held deep solve then absorbs with the proper weight.
+            if term_dinf is not None and dinf > 0.75 * term_dinf:
+                esc_ls = False
+            term_dinf = dinf
+        else:
+            term_dinf = None
         vs = neg_vecs[:, :nne]
         if symmetrize is not None:
             # duplicated-basis correspondence: the lift of a unit
@@ -744,7 +761,7 @@ def solve_dual_al(variant_name: str, op: DualOp,
             vs = np.sqrt(2.0) * vs
         if nne == 0:
             U_host = None
-        elif opt.line_search:
+        elif esc_ls:
             U_host = np.vstack([np.zeros((p, n)), vs.T])
             Y_host = np.vstack([Y_host, np.zeros((nne, n))])
         else:
