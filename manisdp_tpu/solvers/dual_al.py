@@ -748,7 +748,13 @@ def solve_dual_al(variant_name: str, op: DualOp,
             if term_dinf is not None and dinf > 0.75 * term_dinf:
                 esc_ls = False
             term_dinf = dinf
-        else:
+        elif pinf > 1e-2 or gap > 1e-4:
+            # left the terminal regime -> reset.  NOT on every
+            # non-terminal iteration: each gentle escape's recovery
+            # iteration has pinf ~ 1e3*tol and a per-iteration reset
+            # blinded the cycle detector (observed at q = 80, iters
+            # 63-75 of logs/bqp80_trigger_val2.log: dinf stuck at
+            # ~2e-7 with term_dinf wiped every other outer).
             term_dinf = None
         vs = neg_vecs[:, :nne]
         if symmetrize is not None:
